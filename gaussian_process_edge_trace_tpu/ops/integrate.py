@@ -1,0 +1,91 @@
+"""Composite Simpson quadrature on (possibly) non-uniform grids.
+
+Replaces the reference's ``scipy.integrate.simps`` calls in the curve cost
+function (reference: gpet.py:404-405). Implemented as closed-form weighted
+sums over statically-shaped arrays so a whole batch of curves reduces to
+dot products on the VPU/MXU (SURVEY.md §7 step 4).
+
+Semantics match ``scipy.integrate.simpson``:
+
+- odd number of points: classic composite Simpson over consecutive interval
+  pairs, with the non-uniform three-point formula;
+- even number of points: Simpson over the leading odd block plus the
+  Cartwright-corrected last interval (scipy >= 1.11 default).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _pair_contributions(y0, y1, y2, h0, h1):
+    """Non-uniform Simpson contribution of one interval pair.
+
+    Integral over [x0, x2] through (x0,y0),(x1,y1),(x2,y2) with
+    h0 = x1-x0, h1 = x2-x1 (scipy's ``_basic_simpson`` formula).
+    """
+    hsum = h0 + h1
+    return (hsum / 6.0) * (
+        y0 * (2.0 - h1 / h0)
+        + y1 * hsum * hsum / (h0 * h1)
+        + y2 * (2.0 - h0 / h1)
+    )
+
+
+def simpson_nonuniform(y, x, axis=-1):
+    """Composite Simpson integral of samples ``y`` at locations ``x``.
+
+    ``y`` and ``x`` must have the same static length along ``axis``
+    (length >= 2); broadcasting over leading batch axes is supported when
+    ``axis == -1``.
+    """
+    y = jnp.asarray(y)
+    x = jnp.asarray(x)
+    if axis != -1:
+        y = jnp.moveaxis(y, axis, -1)
+        x = jnp.moveaxis(x, axis, -1)
+    n = y.shape[-1]
+    if n < 2:
+        raise ValueError("simpson needs at least 2 samples")
+    if n == 2:
+        return 0.5 * (y[..., 0] + y[..., 1]) * (x[..., 1] - x[..., 0])
+
+    h = jnp.diff(x, axis=-1)
+
+    def _odd_block(yb, hb):
+        # yb has odd length m = 2k+1; integrate over k pairs.
+        y0 = yb[..., 0:-2:2]
+        y1 = yb[..., 1:-1:2]
+        y2 = yb[..., 2::2]
+        h0 = hb[..., 0::2]
+        h1 = hb[..., 1::2]
+        return jnp.sum(_pair_contributions(y0, y1, y2, h0, h1), axis=-1)
+
+    if n % 2 == 1:
+        return _odd_block(y, h)
+
+    # Even number of points: Simpson on points [0, n-2] (odd count) plus the
+    # Cartwright correction on the trailing interval, mirroring scipy's
+    # even='simpson' composite rule.
+    main = _odd_block(y[..., : n - 1], h[..., : n - 2])
+    h0 = h[..., -2]
+    h1 = h[..., -1]
+    # scipy correction coefficients for the last interval.
+    alpha = (2 * h1 * h1 + 3 * h0 * h1) / (6 * (h0 + h1))
+    beta = (h1 * h1 + 3 * h0 * h1) / (6 * h0)
+    eta = h1 * h1 * h1 / (6 * h0 * (h0 + h1))
+    tail = alpha * y[..., -1] + beta * y[..., -2] - eta * y[..., -3]
+    return main + tail
+
+
+def simpson_weights(x):
+    """Return weights ``w`` with ``simpson(y, x) == y @ w`` for fixed ``x``.
+
+    Useful when the sample locations are static (e.g. the uniform arc-length
+    grid at gpet.py:405) so the quadrature becomes a single dot product.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    eye = jnp.eye(n, dtype=x.dtype)
+    # Vectorised: integrate each basis vector. n is small & static.
+    return jnp.stack([simpson_nonuniform(eye[i], x) for i in range(n)])

@@ -1,0 +1,187 @@
+"""Image preprocessing ops (TPU-native, pure JAX).
+
+Covers the reference's ``gpet_utils`` preprocessing surface
+(reference: gp_edge_tracing/gpet_utils.py:10-158):
+
+- :func:`kernel_builder`  — extended-Sobel derivative filter (gpet_utils.py:10-61)
+- :func:`normalise`       — min-max rescale (gpet_utils.py:65-91)
+- :func:`comp_grad_img`   — gradient image via convolution (gpet_utils.py:95-119)
+- :func:`denoise`         — denoising dispatch (gpet_utils.py:122-158)
+
+All functions accept numpy or JAX arrays and return JAX arrays; they are
+jit-compatible (no data-dependent shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def kernel_builder(size, b2d=False, normalize=False, vertical_edges=False, unit=False):
+    """Build an extended-Sobel edge-detection kernel.
+
+    Matches the reference construction (gpet_utils.py:10-61): the top
+    ``N//2`` rows hold ``1 + max(0, mid_r + 1 - |i-mid_r| - |j-mid_c|)``
+    pyramid weights (or all ones if ``unit``), the bottom rows are the
+    negated vertical flip, the middle row is zero.
+
+    This is a host-side pure function of static shape arguments; it returns
+    a numpy array so it can be used for both oracle tests and as a static
+    convolution filter.
+    """
+    N, M = size
+    kernel = np.zeros((N, M), dtype=np.float64)
+    mid_r = N // 2
+    mid_c = M // 2
+
+    if unit:
+        kernel[:mid_r, :] = 1.0
+    else:
+        i = np.arange(mid_r)[:, None]
+        j = np.arange(M)[None, :]
+        weight = np.maximum(0, mid_r + 1 - np.abs(i - mid_r) - np.abs(j - mid_c))
+        kernel[:mid_r, :] = 1.0 + weight
+
+    # Bottom half = negated vertical flip of top half (middle row stays 0).
+    # For even N the reference assignment raises a shape error; kernels are
+    # expected to have odd height.
+    kernel[mid_r + 1:, :] = -np.flip(kernel[0:mid_r, :], axis=0)
+
+    if b2d:
+        kernel = np.flipud(kernel)
+    if vertical_edges:
+        kernel = kernel.T
+    if normalize:
+        kernel = kernel / kernel.max()
+    return kernel
+
+
+def normalise(img, minmax_val=(0, 1), astyp=jnp.float32):
+    """Min-max rescale ``img`` into ``[min_val, max_val]``.
+
+    Matches gpet_utils.py:65-91 (compute in float32, rescale, cast).
+    """
+    min_val, max_val = minmax_val
+    img = jnp.asarray(img, dtype=jnp.float32)
+    img = img - jnp.min(img)
+    img = img / jnp.max(img)
+    img = img * (max_val - min_val) + min_val
+    if astyp in (np.float64, jnp.float64, float):
+        # TPU path stays float32; float64 only materialises under x64 mode.
+        astyp = jnp.result_type(jnp.float64)
+    return img.astype(astyp)
+
+
+@functools.partial(jax.jit, static_argnames=("norm",))
+def _conv_nearest(img, kernel, norm=True):
+    """Correlate ``img`` with ``kernel`` using edge-replicate padding.
+
+    Equivalent to ``scipy.ndimage.convolve(img, kernel, mode='nearest')``:
+    scipy *convolves* (flips the kernel) while XLA correlates, so we flip
+    the kernel here.
+    """
+    img = jnp.asarray(img, dtype=jnp.float32)
+    kernel = jnp.asarray(kernel, dtype=jnp.float32)
+    kh, kw = kernel.shape
+    # scipy.ndimage.convolve centers the *flipped* kernel with origin at
+    # floor(k/2) measured after the flip; for odd sizes this is symmetric.
+    # Padding amounts for even sizes follow scipy: left pad = k//2 of the
+    # flipped (correlation) window.
+    flip = kernel[::-1, ::-1]
+    ph_lo, ph_hi = kh // 2, (kh - 1) // 2
+    pw_lo, pw_hi = kw // 2, (kw - 1) // 2
+    padded = jnp.pad(img, ((ph_lo, ph_hi), (pw_lo, pw_hi)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        padded[None, None, :, :],
+        flip[None, None, :, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0, 0]
+    out = jnp.maximum(out, 0.0)
+    if norm:
+        out = normalise(out, (0, 1), jnp.float32)
+    else:
+        out = out.astype(jnp.int32)
+    return out
+
+
+def comp_grad_img(img, kernel, norm=True, astyp=jnp.float32):
+    """Gradient image: convolve, clamp negatives to zero, normalise.
+
+    Reference: gpet_utils.py:95-119. The reference has a latent bug — its
+    ``if normalise:`` tests the imported *function* (always truthy), so
+    ``norm=False`` is silently ignored. We honour ``norm`` (SURVEY.md C17:
+    fix the flag bug; the default path is identical).
+    """
+    out = _conv_nearest(np.asarray(img), np.asarray(kernel), norm=bool(norm))
+    if norm:
+        out = out.astype(astyp if astyp not in (np.float64, float) else jnp.result_type(jnp.float64))
+    return out
+
+
+def _gaussian_filter_1d(size_sigma):
+    sigma, radius = size_sigma
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def denoise(image, technique, kwargs, plot=False, verbose=False):
+    """Denoise ``image``; dispatch over techniques (gpet_utils.py:122-158).
+
+    TPU-native implementations are provided for ``gaussian``, ``median`` and
+    ``minimum`` (separable conv / reduce-window on device). The
+    wavelet/NL-means/TV variants from the reference depend on scikit-image,
+    which is intentionally not a dependency; they fall back to scipy/skimage
+    if importable on the host, else raise.
+    """
+    image = jnp.asarray(image, dtype=jnp.float32)
+    if technique == "gaussian":
+        sigma = float(kwargs.get("sigma", 1.0))
+        radius = int(kwargs.get("radius", int(4.0 * sigma + 0.5)))
+        k = jnp.asarray(_gaussian_filter_1d((sigma, radius)), dtype=jnp.float32)
+        pad = ((radius, radius), (0, 0))
+        out = jnp.pad(image, pad, mode="edge")
+        out = jax.lax.conv_general_dilated(
+            out[None, None], k[None, None, :, None], (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+        out = jnp.pad(out, ((0, 0), (radius, radius)), mode="edge")
+        out = jax.lax.conv_general_dilated(
+            out[None, None], k[None, None, None, :], (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+        return out
+    elif technique in ("median", "minimum"):
+        size = int(kwargs.get("size", 3))
+        pad = size // 2
+        padded = jnp.pad(image, pad, mode="edge")
+        if technique == "minimum":
+            return -jax.lax.reduce_window(
+                -padded, -jnp.inf, jax.lax.max, (size, size), (1, 1), "VALID")
+        # Median via sorting the unfolded window (size is small and static).
+        patches = []
+        for dy in range(size):
+            for dx in range(size):
+                patches.append(
+                    jax.lax.dynamic_slice(padded, (dy, dx), image.shape))
+        stack = jnp.stack(patches, axis=-1)
+        return jnp.median(stack, axis=-1)
+    elif technique in ("nl", "tvc", "wavelet", "tvb"):
+        try:  # pragma: no cover - optional host dependency
+            from skimage import restoration as rest
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                f"denoise technique '{technique}' requires scikit-image, "
+                "which is not installed; use 'gaussian'/'median'/'minimum'."
+            ) from exc
+        fn = {"nl": rest.denoise_nl_means, "tvc": rest.denoise_tv_chambolle,
+              "wavelet": rest.denoise_wavelet, "tvb": rest.denoise_tv_bregman}[technique]
+        return jnp.asarray(fn(np.asarray(image), **kwargs))
+    else:
+        print("Denoising technique not implemented.")
+        return None

@@ -1,0 +1,56 @@
+"""Trace-quality metrics (reference: gpet_utils.py:256-313).
+
+These are the parity metrics used by the test-suite and benchmarks:
+column-wise MSE, relative area difference, and DICE/Jaccard over the
+binarised under-edge masks. Implemented as jit-friendly jnp ports; the
+reference's per-column Python fill loop becomes a broadcast comparison.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _as_2d(edge):
+    edge = jnp.asarray(edge)
+    if edge.ndim == 1:
+        edge = edge.reshape(-1, 1)
+    return edge
+
+
+def trace_MSE(edge_pred, edge_true):
+    """Column-wise mean squared error of the y-coordinates
+    (gpet_utils.py:256-269)."""
+    edge_pred = _as_2d(edge_pred)
+    edge_true = jnp.asarray(edge_true)
+    N = edge_pred.shape[0]
+    return jnp.round(
+        (1.0 / N) * jnp.sum((edge_pred[:, 0] - edge_true[:, 0]) ** 2), 4)
+
+
+def trace_relarea(edge_pred, edge_true):
+    """Relative under-edge area difference (gpet_utils.py:271-286)."""
+    edge_pred = _as_2d(edge_pred)
+    edge_true = jnp.asarray(edge_true)
+    N = edge_pred.shape[0]
+    true_area = jnp.sum(N - edge_true[:, 0]) / N ** 2
+    pred_area = jnp.sum(N - edge_pred[:, 0]) / N ** 2
+    return jnp.round(jnp.abs((true_area - pred_area) / true_area), 5)
+
+
+def trace_dicecoef(edge_pred, edge_true, jaccard=False):
+    """DICE (or Jaccard) coefficient over binarised under-edge masks
+    (gpet_utils.py:288-313). The reference's per-column fill loop is a
+    broadcast ``row >= edge_y`` comparison here."""
+    edge_pred = _as_2d(edge_pred)
+    edge_true = jnp.asarray(edge_true)
+    N = edge_pred.shape[0]
+    rows = jnp.arange(N)[:, None]
+    pred_bin = (rows >= edge_pred[:, 0].astype(jnp.int32)[None, :]).astype(jnp.float32)
+    true_bin = (rows >= edge_true[:, 0].astype(jnp.int32)[None, :]).astype(jnp.float32)
+    inter = jnp.sum(pred_bin * true_bin)
+    union = jnp.sum(jnp.clip(pred_bin + true_bin, 0, 1))
+    jacc = inter / union
+    if jaccard:
+        return jnp.round(jacc, 4)
+    return jnp.round(2 * jacc / (jacc + 1), 4)

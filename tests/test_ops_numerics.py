@@ -1,0 +1,80 @@
+"""Tests for Simpson quadrature and bilinear interpolation vs scipy oracles."""
+
+import numpy as np
+import pytest
+import scipy.integrate
+import scipy.interpolate
+
+from gaussian_process_edge_trace_tpu.ops import (
+    simpson_nonuniform, simpson_weights, bilinear_interp)
+
+
+@pytest.mark.parametrize("n", [3, 5, 11, 499, 4, 6, 500])
+def test_simpson_uniform(n):
+    x = np.linspace(0.0, 3.0, n)
+    y = np.sin(x) + 0.3 * x ** 2
+    expected = scipy.integrate.simpson(y, x=x)
+    got = float(simpson_nonuniform(y, x))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n", [3, 5, 11, 499, 4, 6, 500])
+def test_simpson_nonuniform(n):
+    rng = np.random.RandomState(n)
+    x = np.cumsum(0.1 + rng.rand(n))
+    y = np.cos(x) * x
+    expected = scipy.integrate.simpson(y, x=x)
+    got = float(simpson_nonuniform(y, x))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_simpson_two_points_is_trapezoid():
+    x = np.array([1.0, 2.5])
+    y = np.array([2.0, 4.0])
+    np.testing.assert_allclose(float(simpson_nonuniform(y, x)), 4.5, rtol=1e-6)
+
+
+def test_simpson_batched():
+    rng = np.random.RandomState(0)
+    x = np.cumsum(0.1 + rng.rand(7, 99), axis=-1)
+    y = rng.randn(7, 99)
+    got = np.asarray(simpson_nonuniform(y, x))
+    for i in range(7):
+        np.testing.assert_allclose(
+            got[i], scipy.integrate.simpson(y[i], x=x[i]), rtol=1e-4)
+
+
+def test_simpson_weights_dot_product():
+    x = np.linspace(0, 1, 9)
+    w = np.asarray(simpson_weights(x))
+    rng = np.random.RandomState(1)
+    y = rng.randn(9)
+    np.testing.assert_allclose(
+        float(y @ w), scipy.integrate.simpson(y, x=x), rtol=1e-5)
+
+
+def test_bilinear_matches_rectbivariatespline_interior():
+    rng = np.random.RandomState(2)
+    img = rng.rand(40, 50)
+    spline = scipy.interpolate.RectBivariateSpline(
+        np.arange(40), np.arange(50), img, kx=1, ky=1)
+    rows = rng.rand(200) * 39
+    cols = rng.rand(200) * 49
+    expected = spline(rows, cols, grid=False)
+    got = np.asarray(bilinear_interp(img, rows, cols))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_bilinear_extrapolation_matches_spline():
+    # RectBivariateSpline(kx=ky=1) extrapolates linearly outside the grid;
+    # posterior curves routinely leave the image (gpet.py:392 evaluates them
+    # anyway), so parity outside the domain matters.
+    rng = np.random.RandomState(3)
+    img = rng.rand(20, 25)
+    spline = scipy.interpolate.RectBivariateSpline(
+        np.arange(20), np.arange(25), img, kx=1, ky=1)
+    rows = np.array([-5.3, -0.1, 0.0, 19.0, 19.7, 30.2, 10.5])
+    cols = np.array([-2.0, 3.3, 24.9, 25.8, -0.5, 12.0, 24.0])
+    expected = spline(rows, cols, grid=False)
+    got = np.asarray(bilinear_interp(img, rows, cols))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
