@@ -42,6 +42,28 @@ class GPState(NamedTuple):
     mask: jnp.ndarray     # (n,) bool validity
 
 
+def safe_cholesky(K, jitter_scales=(0.0, 1e-5, 1e-3)):
+    """Lower Cholesky with branchless jitter escalation.
+
+    The TPU compute path is float32; near-singular RBF Grams (condition
+    numbers approaching 1/eps_f32) can make a plain Cholesky produce NaNs.
+    The reference's failure mode is an exception with advice
+    (sklearn_gpr.py:306-314); here we escalate a diagonal jitter instead —
+    all candidate factorisations are computed (n is small, ≤ a few hundred)
+    and the first finite one is selected, keeping the whole program
+    branch-free under jit.
+    """
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    scale = jnp.mean(jnp.diagonal(K))
+    L = jnp.linalg.cholesky(K + (jitter_scales[0] * scale) * eye)
+    for s in jitter_scales[1:]:
+        ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
+        Lj = jnp.linalg.cholesky(K + (s * scale) * eye)
+        L = jnp.where(ok, L, Lj)
+    return L
+
+
 def masked_mean(y, mask):
     m = mask.astype(y.dtype)
     return jnp.sum(y * m) / jnp.maximum(jnp.sum(m), 1.0)
@@ -64,7 +86,7 @@ def gp_fit(spec: KernelSpec, x, y, length_scale, variance, diag_noise,
     y_mean = jnp.where(centre, masked_mean(y, mask), 0.0)
     yc = jnp.where(mask, y - y_mean, 0.0)
     K = train_gram(spec, x, length_scale, variance, diag_noise, mask=mask)
-    L = jnp.linalg.cholesky(K)
+    L = safe_cholesky(K)
     alpha = cho_solve((L, True), yc)
     alpha = jnp.where(mask, alpha, 0.0)
     return GPState(L=L, alpha=alpha, x=x, y_mean=y_mean, mask=mask)
@@ -103,16 +125,24 @@ def gp_predict(spec: KernelSpec, state: GPState, xq, length_scale, variance,
 
 
 def prior_grid_cholesky(spec: KernelSpec, grid, length_scale, jitter=1e-6):
-    """Cholesky of the unit-variance prior Gram over the sampling grid.
+    """Square-root factor of the unit-variance prior Gram over the grid.
 
     Computed once at tracer init (the grid and length-scale are fixed
     during the recursive scheme — the per-iteration constant-kernel value
     is a scalar multiple, gpet.py:230). O(E³) once instead of per
     iteration.
+
+    Implemented via a symmetric eigendecomposition rather than Cholesky:
+    a noise-free RBF Gram over hundreds of unit-spaced points is
+    numerically rank-deficient in float32, where Cholesky NaNs out, while
+    ``F = V·√max(λ,0)`` is robust and any F with FFᵀ = K yields the same
+    sampling distribution — the same reason the reference's
+    ``multivariate_normal`` uses an SVD factorisation (sklearn_gpr.py:464).
     """
     Kg = cross_gram(spec, grid, grid, length_scale, 1.0)
     Kg = Kg + jitter * jnp.eye(grid.shape[0], dtype=Kg.dtype)
-    return jnp.linalg.cholesky(Kg)
+    w, V = jnp.linalg.eigh(Kg)
+    return V * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
 
 
 def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
@@ -155,7 +185,7 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
     yc = jnp.where(mask, y - y_mean, 0.0)
 
     K = train_gram(spec, x, length_scale, variance, diag_noise, mask=mask)
-    L = jnp.linalg.cholesky(K)
+    L = safe_cholesky(K)
 
     # Prior draws over the extended grid: sqrt(variance) * L_unit @ z.
     z = jax.random.normal(k_prior, (G, n_samples), dtype=L_prior_unit.dtype)
@@ -204,7 +234,7 @@ def log_marginal_likelihood(spec: KernelSpec, x, yc, mask, theta,
     L = jnp.linalg.cholesky(K_safe)
     a = cho_solve((L, True), yc)
     a = jnp.where(mask, a, 0.0)
-    n_valid = jnp.sum(mask)
+    n_valid = jnp.sum(mask).astype(yc.dtype)
     lml = (-0.5 * jnp.sum(yc * a)
            - jnp.sum(jnp.log(jnp.where(mask, jnp.diagonal(L), 1.0)))
            - 0.5 * n_valid * jnp.log(2.0 * jnp.pi))

@@ -96,9 +96,10 @@ def minimize_lbfgs_b(fun, x0, lb, ub, max_iters=64, history=8,
         # Armijo backtracking on the projected path.
         def ls_body(carry, j):
             t_best, f_best, found = carry
-            t = 0.5 ** j
+            t = (0.5 ** j).astype(x.dtype)
             xt = _project(x + t * dvec, lb, ub)
             ft, _ = fun(xt)
+            ft = ft.astype(f.dtype)
             accept = (~found) & (ft <= f + 1e-4 * t * gd) & jnp.isfinite(ft)
             t_best = jnp.where(accept, t, t_best)
             f_best = jnp.where(accept, ft, f_best)

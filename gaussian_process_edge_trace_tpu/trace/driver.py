@@ -1,0 +1,410 @@
+"""The recursive-Bayesian edge-trace driver.
+
+TPU-native re-design of ``GP_Edge_Tracing`` (reference: gpet.py:17-908).
+The reference's mutate-as-you-go object loop becomes a functional pipeline
+over fixed-shape padded buffers, so an entire trace — every GP fit, the
+posterior sampling, curve scoring, KDE, pixel selection, and the final
+LML-optimised fit — compiles to ONE XLA program (:func:`run_trace`).
+
+Structure:
+
+- :class:`TracerConfig` — frozen static configuration (hashable, a jit
+  static argument). Mirrors the reference ``__init__`` defaults and
+  clamping semantics (gpet.py:95-119).
+- :class:`TracerData` — device arrays precomputed once per (config, image):
+  normalised gradient image, gradient KDE (gpet.py:127), and the
+  unit-variance prior Cholesky over all image columns that powers
+  Matheron pathwise sampling (O(N³) once instead of an O(E³)
+  factorisation per iteration, cf. sklearn_gpr.py:464).
+- :class:`TraceState` — the while-loop carry: a per-bin observation buffer
+  (one slot per sub-interval over the full image width — the padded
+  equivalent of "one accepted pixel per occupied bin"), a user-supplied
+  warm-start observation buffer that participates in the first iteration
+  only (exactly the reference's lifecycle: user obs train the first GP and
+  are rescored once, then are replaced by the binned selection,
+  gpet.py:820,857), the persistent adaptive score threshold
+  (gpet.py:595), and fixed-capacity telemetry buffers.
+- :func:`run_trace` — ``lax.while_loop`` of :func:`_iteration` followed by
+  :func:`_final_fit`, all jitted together.
+
+Deviations from the reference (all documented, all behaviour-preserving in
+the metric sense):
+
+- per-iteration RNG is ``fold_in(key(seed), it+1)`` mirroring
+  ``seed+N_iter+1`` (gpet.py:839); bitwise sample parity with
+  ``np.random.RandomState.multivariate_normal`` is impossible, the
+  contract is statistical parity (SURVEY.md §7 "stochastic parity");
+- training points are not sorted by x (gpet.py:212-214): the GP posterior
+  is permutation-invariant, so sorting is dead work;
+- a ``max_iters`` guard bounds the outer loop (the reference can loop
+  forever if no new bins appear, gpet.py:829);
+- the final credible interval preserves the reference quirk of leaving the
+  predictive std in standardised-y units (gpet.py:266 rescales the mean
+  but not the std); ``TraceResult.cred_interval_px`` also exposes the
+  corrected pixel-unit interval.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_process_edge_trace_tpu.models.gpr import (
+    fit_and_sample, gp_fit, gp_predict, log_marginal_likelihood,
+    masked_mean, masked_std, prior_grid_cholesky)
+from gaussian_process_edge_trace_tpu.models.kernels import (
+    KernelSpec, resolve_kernel_options)
+from gaussian_process_edge_trace_tpu.models.lbfgs import minimize_lbfgs_b
+from gaussian_process_edge_trace_tpu.trace.kde import curve_kde, gradient_kde
+from gaussian_process_edge_trace_tpu.trace.scoring import (
+    best_curves, curve_costs)
+from gaussian_process_edge_trace_tpu.trace.select import (
+    BinSpec, make_bin_spec, select_pixels)
+from gaussian_process_edge_trace_tpu.utils.image import normalise
+
+
+class TracerConfig(NamedTuple):
+    """Static trace configuration (all fields hashable Python scalars)."""
+    M: int
+    N: int
+    x_st: int
+    x_en: int
+    edge_length: int
+    kernel: KernelSpec
+    sigma_f: float
+    sigma_l: float
+    noise_y: float
+    N_samples: int
+    N_keep: int
+    delta_x: int
+    N_subints: int
+    pixel_thresh: int
+    algo_thresh: int
+    score_thresh0: float
+    kde_thresh: float
+    fix_endpoints: bool
+    n_inits: int
+    n_user_obs: int
+    bins: BinSpec
+    n_train: int          # padded training capacity (multiple of 8)
+    seed: int
+    max_iters: int
+    max_decays: int
+    lml_restarts: int
+    init_noise_weight: float  # 1e-7 if fix_endpoints else 0.5 (gpet.py:161)
+    gp_jitter: float          # GPR alpha (gpet.py:155)
+
+
+class TracerData(NamedTuple):
+    """Per-(config, image) device arrays, computed once."""
+    grad_img: jnp.ndarray      # (M, N) normalised gradient image
+    grad_kde: jnp.ndarray      # (M, N) gradient KDE (gpet.py:127)
+    L_prior_unit: jnp.ndarray  # (N, N) unit prior Cholesky over all columns
+    x_grid: jnp.ndarray        # (E,) int32 output columns
+    init_x: jnp.ndarray        # (n_inits,) int32
+    init_y: jnp.ndarray        # (n_inits,) int32
+
+
+class TraceState(NamedTuple):
+    obs_x: jnp.ndarray        # (B,) int32 per-bin observation buffer
+    obs_y: jnp.ndarray        # (B,) int32
+    obs_valid: jnp.ndarray    # (B,) bool
+    user_x: jnp.ndarray       # (U,) int32 warm-start observations
+    user_y: jnp.ndarray       # (U,) int32
+    user_valid: jnp.ndarray   # (U,) bool — cleared after the 1st iteration
+    score_thresh: jnp.ndarray  # scalar, persistent adaptive threshold
+    n_fobs: jnp.ndarray       # scalar int32
+    it: jnp.ndarray           # scalar int32
+    # telemetry (fixed capacity max_iters)
+    iter_curves: jnp.ndarray  # (max_iters, E) optimal curve per iteration
+    iter_costs: jnp.ndarray   # (max_iters,)
+    iter_nobs: jnp.ndarray    # (max_iters,) int32
+    iter_thresh: jnp.ndarray  # (max_iters,)
+
+
+class TraceResult(NamedTuple):
+    edge_trace: jnp.ndarray        # (E, 2) int32, yx-space (gpet.py:886)
+    y_mean: jnp.ndarray            # (E,) posterior mean, pixel units
+    y_std: jnp.ndarray             # (E,) predictive std — standardised-y
+    #                                units, the reference quirk (gpet.py:266)
+    cred_interval: jnp.ndarray     # (2, E) mean ∓ 1.96·y_std (gpet.py:876)
+    cred_interval_px: jnp.ndarray  # (2, E) corrected, pixel units
+    n_iters: jnp.ndarray           # scalar int32
+    converged: jnp.ndarray         # scalar bool (False = max_iters hit)
+    theta: jnp.ndarray             # (3,) optimised (log c, log ℓ, log σn²)
+    lml: jnp.ndarray               # scalar optimised log marginal likelihood
+    final_cost: jnp.ndarray        # cost of the final mean curve (gpet.py:890)
+    iter_curves: jnp.ndarray       # (max_iters, E)
+    iter_costs: jnp.ndarray        # (max_iters,)
+    iter_nobs: jnp.ndarray         # (max_iters,) int32
+    iter_thresh: jnp.ndarray       # (max_iters,)
+    obs_x: jnp.ndarray             # (B,) final accepted observations
+    obs_y: jnp.ndarray
+    obs_valid: jnp.ndarray
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def make_config(init, grad_img_shape, kernel_options=(1, 3, 3), noise_y=1,
+                n_user_obs=0, N_samples=500, score_thresh=1, delta_x=20,
+                keep_ratio=0.1, pixel_thresh=5, seed=42,
+                fix_endpoints=True, max_iters=48, max_decays=400,
+                lml_restarts=12) -> TracerConfig:
+    """Build a :class:`TracerConfig` with the reference's clamping semantics
+    (gpet.py:95-119). ``init`` is the (n, 2) xy-space endpoint array."""
+    init = np.asarray(init)
+    init_sorted = init[np.argsort(init[:, 0])].astype(int)
+    # gpet.py:96 reads x_st/x_en from the *unsorted* input; an unsorted
+    # input breaks the reference (empty x_grid), so we use the sorted one.
+    x_st, x_en = int(init_sorted[0, 0]), int(init_sorted[-1, 0])
+    M, N = grad_img_shape
+
+    n_samples_c = int(N_samples) if N_samples > 100 else 1000  # gpet.py:99
+    keep_ratio_c = float(keep_ratio) if 0 < keep_ratio <= 1 else 0.1
+    pixel_thresh_c = int(pixel_thresh) if pixel_thresh >= 2 else 2
+    score_thresh_c = float(score_thresh) if 0 < score_thresh <= 1 else 1.0
+    delta_x_c = int(delta_x) if delta_x > 3 else 2             # gpet.py:105
+
+    edge_length = x_en - x_st + 1
+    N_subints = int(edge_length // delta_x_c)
+    # N_keep uses the *raw* arguments, not the clamped ones (gpet.py:118).
+    N_keep = int(keep_ratio * N_samples)
+    algo_thresh = N_subints - (pixel_thresh_c - 1)             # gpet.py:119
+
+    spec, sigma_f, sigma_l = resolve_kernel_options(
+        kernel_options, M, edge_length)
+    bins = make_bin_spec(N, x_st, x_en, delta_x_c)
+    n_inits = init_sorted.shape[0]
+    n_train = _round_up(n_inits + int(n_user_obs) + bins.n_bins, 8)
+
+    return TracerConfig(
+        M=M, N=N, x_st=x_st, x_en=x_en, edge_length=edge_length,
+        kernel=spec, sigma_f=sigma_f, sigma_l=sigma_l,
+        noise_y=float(noise_y), N_samples=n_samples_c, N_keep=N_keep,
+        delta_x=delta_x_c, N_subints=N_subints,
+        pixel_thresh=pixel_thresh_c, algo_thresh=algo_thresh,
+        score_thresh0=score_thresh_c, kde_thresh=1e-3,
+        fix_endpoints=bool(fix_endpoints), n_inits=n_inits,
+        n_user_obs=int(n_user_obs), bins=bins, n_train=n_train,
+        seed=int(seed), max_iters=int(max_iters),
+        max_decays=int(max_decays), lml_restarts=int(lml_restarts),
+        init_noise_weight=[0.5, 1e-7][int(bool(fix_endpoints))],
+        gp_jitter=1e-6)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def make_data(cfg: TracerConfig, grad_img, init_xy) -> TracerData:
+    """Precompute the per-image device arrays (gpet.py:97,122-127)."""
+    g = normalise(grad_img, (0, 1), jnp.float32)
+    gkde = gradient_kde(g, kde_thresh=cfg.kde_thresh)
+    cols = jnp.arange(cfg.N, dtype=jnp.float32)
+    L_unit = prior_grid_cholesky(cfg.kernel, cols, cfg.sigma_l,
+                                 jitter=cfg.gp_jitter)
+    x_grid = cfg.x_st + jnp.arange(cfg.edge_length, dtype=jnp.int32)
+    init_xy = jnp.asarray(init_xy, jnp.int32)
+    order = jnp.argsort(init_xy[:, 0])
+    init_xy = init_xy[order]
+    return TracerData(grad_img=g, grad_kde=gkde, L_prior_unit=L_unit,
+                      x_grid=x_grid, init_x=init_xy[:, 0],
+                      init_y=init_xy[:, 1])
+
+
+def init_state(cfg: TracerConfig, user_obs_xy=None) -> TraceState:
+    """Initial loop state; ``user_obs_xy`` is the warm-start (U, 2) xy
+    observation array (gpet.py:57-61,820)."""
+    B = cfg.bins.n_bins
+    U = cfg.n_user_obs
+    if user_obs_xy is None:
+        user_obs_xy = jnp.zeros((0, 2), jnp.int32)
+    user_obs_xy = jnp.asarray(user_obs_xy, jnp.int32).reshape(-1, 2)
+    assert user_obs_xy.shape[0] == U, (user_obs_xy.shape, U)
+    E = cfg.edge_length
+    mi = cfg.max_iters
+    return TraceState(
+        obs_x=jnp.zeros((B,), jnp.int32), obs_y=jnp.zeros((B,), jnp.int32),
+        obs_valid=jnp.zeros((B,), bool),
+        user_x=user_obs_xy[:, 0], user_y=user_obs_xy[:, 1],
+        user_valid=jnp.ones((U,), bool),
+        score_thresh=jnp.asarray(cfg.score_thresh0, jnp.float32),
+        n_fobs=jnp.asarray(U, jnp.int32), it=jnp.asarray(0, jnp.int32),
+        iter_curves=jnp.zeros((mi, E), jnp.float32),
+        iter_costs=jnp.zeros((mi,), jnp.float32),
+        iter_nobs=jnp.zeros((mi,), jnp.int32),
+        iter_thresh=jnp.zeros((mi,), jnp.float32))
+
+
+def _train_set(cfg: TracerConfig, data: TracerData, state: TraceState):
+    """Assemble the padded training buffers: init + user obs + binned obs
+    (gpet.py:209-214; sorting elided — the GP is permutation-invariant)."""
+    pad = cfg.n_train - cfg.n_inits - cfg.n_user_obs - cfg.bins.n_bins
+    x = jnp.concatenate([data.init_x, state.user_x, state.obs_x,
+                         jnp.zeros((pad,), jnp.int32)])
+    y = jnp.concatenate([data.init_y, state.user_y, state.obs_y,
+                         jnp.zeros((pad,), jnp.int32)])
+    mask = jnp.concatenate([jnp.ones((cfg.n_inits,), bool),
+                            state.user_valid, state.obs_valid,
+                            jnp.zeros((pad,), bool)])
+    # Endpoint noise weight 1e-7/0.5, observation weight 1 (gpet.py:161,209).
+    noise_w = jnp.concatenate([
+        jnp.full((cfg.n_inits,), cfg.init_noise_weight, jnp.float32),
+        jnp.ones((cfg.n_train - cfg.n_inits,), jnp.float32)])
+    return x, y, mask, noise_w
+
+
+def _sample_round(cfg: TracerConfig, data: TracerData, x, y, mask, noise_w,
+                  key):
+    """One sampling-mode GP round (gpet.py:227-230,255-261): scale y by
+    std+1, set variance to σf²/y_s², fit + draw N_samples Matheron curves,
+    rescale."""
+    yf = y.astype(jnp.float32)
+    y_s = masked_std(yf, mask) + 1.0
+    variance = (cfg.sigma_f ** 2) / (y_s ** 2)
+    diag_noise = cfg.noise_y * noise_w + cfg.gp_jitter
+    samples = fit_and_sample(
+        key, cfg.kernel, x.astype(jnp.float32), yf / y_s, cfg.sigma_l,
+        variance, diag_noise, mask, data.L_prior_unit, x_idx=x,
+        grid_out=data.x_grid, n_samples=cfg.N_samples, centre=True)
+    return samples * y_s  # (E, S)
+
+
+def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState):
+    """One outer-loop iteration (gpet.py:829-861)."""
+    x, y, mask, noise_w = _train_set(cfg, data, state)
+    key_it = jax.random.fold_in(key, state.it + 1)  # seed+N_iter+1
+    samples = _sample_round(cfg, data, x, y, mask, noise_w, key_it)
+
+    costs = curve_costs(data.grad_img, data.x_grid, samples,
+                        kde_thresh=cfg.kde_thresh)
+    bc, bcosts = best_curves(samples, costs, cfg.N_keep)
+
+    inv = 1.0 / bcosts
+    weights = inv / jnp.sum(inv)                 # gpet.py:492-493
+    kde_arr = curve_kde(bc, weights, cfg.M, cfg.N, cfg.x_st)
+
+    # Previous observations = user warm-start ∪ binned buffer.
+    prev_x = jnp.concatenate([state.user_x, state.obs_x])
+    prev_y = jnp.concatenate([state.user_y, state.obs_y])
+    prev_valid = jnp.concatenate([state.user_valid, state.obs_valid])
+    sel = select_pixels(
+        kde_arr, data.grad_kde, prev_x, prev_y, prev_valid,
+        n_pre=state.n_fobs, score_thresh=state.score_thresh, spec=cfg.bins,
+        fix_endpoints=cfg.fix_endpoints, kde_thresh=cfg.kde_thresh,
+        pixel_thresh=cfg.pixel_thresh, algo_thresh=cfg.algo_thresh,
+        max_decays=cfg.max_decays)
+
+    i = state.it
+    new_state = TraceState(
+        obs_x=sel.obs_x, obs_y=sel.obs_y, obs_valid=sel.obs_valid,
+        user_x=state.user_x, user_y=state.user_y,
+        user_valid=jnp.zeros_like(state.user_valid),  # first-iter only
+        score_thresh=sel.score_thresh, n_fobs=sel.n_fobs, it=i + 1,
+        iter_curves=state.iter_curves.at[i].set(bc[:, 0]),
+        iter_costs=state.iter_costs.at[i].set(bcosts[0]),
+        iter_nobs=state.iter_nobs.at[i].set(sel.n_fobs),
+        iter_thresh=state.iter_thresh.at[i].set(sel.score_thresh))
+    return new_state, samples
+
+
+def _final_fit(cfg: TracerConfig, data: TracerData, key, state: TraceState):
+    """Converged fit: standardise, maximise LML with 1+`lml_restarts`
+    vmapped L-BFGS starts, predict (gpet.py:233-248,263-266 →
+    sklearn_gpr.py:254-295)."""
+    x, y, mask, noise_w = _train_set(cfg, data, state)
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    X_m, X_s = masked_mean(xf, mask), masked_std(xf, mask)
+    y_m, y_s = masked_mean(yf, mask), masked_std(yf, mask)
+    xs = jnp.where(mask, (xf - X_m) / X_s, 0.0)
+    ys = jnp.where(mask, (yf - y_m) / y_s, 0.0)
+
+    # θ = (log c, log ℓ, log σn²); bounds gpet.py:246-248.
+    lb = jnp.log(jnp.asarray([0.01, 0.1, 1e-18], jnp.float32))
+    ub = jnp.log(jnp.asarray([1e3, 100.0, 1.0], jnp.float32))
+    theta0 = jnp.log(jnp.asarray([5.0, 5.0, cfg.noise_y], jnp.float32))
+    theta0 = jnp.clip(theta0, lb, ub)
+    restarts = jax.random.uniform(
+        key, (cfg.lml_restarts, 3), jnp.float32) * (ub - lb) + lb
+    starts = jnp.concatenate([theta0[None], restarts], axis=0)
+
+    def neg_lml(theta):
+        return -log_marginal_likelihood(cfg.kernel, xs, ys, mask, theta,
+                                        noise_w, jitter=cfg.gp_jitter)
+
+    obj = jax.value_and_grad(neg_lml)
+    solve = functools.partial(minimize_lbfgs_b, obj, lb=lb, ub=ub,
+                              max_iters=64)
+    results = jax.vmap(solve)(starts)
+    ibest = jnp.argmin(jnp.where(jnp.isfinite(results.f), results.f,
+                                 jnp.inf))
+    theta = results.x[ibest]
+    lml = -results.f[ibest]
+
+    c = jnp.exp(theta[0])
+    ls = jnp.exp(theta[1])
+    noise = jnp.exp(theta[2])
+    gp = gp_fit(cfg.kernel, xs, ys, ls, c,
+                noise * noise_w + cfg.gp_jitter, mask, centre=False)
+    xq = (data.x_grid.astype(jnp.float32) - X_m) / X_s
+    mean_std, std = gp_predict(cfg.kernel, gp, xq, ls, c, return_std=True)
+    y_mean = y_s * mean_std + y_m            # gpet.py:266
+    return y_mean, std, y_s, theta, lml
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_trace(cfg: TracerConfig, data: TracerData,
+              state0: TraceState) -> TraceResult:
+    """The full trace as one XLA program (gpet.py:768-908)."""
+    key = jax.random.PRNGKey(cfg.seed)
+
+    def cond(s: TraceState):
+        return (s.n_fobs < cfg.algo_thresh) & (s.it < cfg.max_iters)
+
+    def body(s: TraceState):
+        new_state, _ = _iteration(cfg, data, key, s)
+        return new_state
+
+    state = jax.lax.while_loop(cond, body, state0)
+
+    key_final = jax.random.fold_in(key, 0)   # seed+N_iter analogue
+    y_mean, y_std, y_s, theta, lml = _final_fit(cfg, data, key_final, state)
+
+    cred = jnp.stack([y_mean - 1.96 * y_std, y_mean + 1.96 * y_std])
+    cred_px = jnp.stack([y_mean - 1.96 * y_s * y_std,
+                         y_mean + 1.96 * y_s * y_std])
+    edge_trace = jnp.stack(
+        [jnp.rint(y_mean).astype(jnp.int32), data.x_grid], axis=1)
+    final_cost = curve_costs(data.grad_img, data.x_grid, y_mean[:, None],
+                             kde_thresh=cfg.kde_thresh)[0]
+    return TraceResult(
+        edge_trace=edge_trace, y_mean=y_mean, y_std=y_std,
+        cred_interval=cred, cred_interval_px=cred_px, n_iters=state.it,
+        converged=state.n_fobs >= cfg.algo_thresh, theta=theta, lml=lml,
+        final_cost=final_cost, iter_curves=state.iter_curves,
+        iter_costs=state.iter_costs, iter_nobs=state.iter_nobs,
+        iter_thresh=state.iter_thresh, obs_x=state.obs_x,
+        obs_y=state.obs_y, obs_valid=state.obs_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def trace_step(cfg: TracerConfig, data: TracerData,
+               state: TraceState):
+    """One jitted outer iteration, for the introspective driver path
+    (per-iteration plotting / return_lines, gpet.py:843-844,905-908)."""
+    key = jax.random.PRNGKey(cfg.seed)
+    return _iteration(cfg, data, key, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def preview_samples(cfg: TracerConfig, data: TracerData,
+                    state: TraceState):
+    """Samples from the initial posterior with seed 0 (gpet.py:806:
+    ``fit_predict_GP(self.obs, converged=False, seed=0)``)."""
+    x, y, mask, noise_w = _train_set(cfg, data, state)
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), -1)
+    return _sample_round(cfg, data, x, y, mask, noise_w, key)

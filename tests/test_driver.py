@@ -1,0 +1,131 @@
+"""End-to-end trace tests on synthetic images (SURVEY.md §4: parity via
+trace metrics, determinism via fixed keys)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gaussian_process_edge_trace_tpu.trace.driver import (
+    init_state, make_config, make_data, run_trace)
+from gaussian_process_edge_trace_tpu.utils.image import (
+    comp_grad_img, kernel_builder)
+from gaussian_process_edge_trace_tpu.utils.metrics import (
+    trace_MSE, trace_dicecoef)
+from gaussian_process_edge_trace_tpu.utils.synthetic import construct_test_img
+
+
+def _demo_setup(size=(128, 128), noise=0.02, delta_x=6):
+    img, edge = construct_test_img(
+        size=size, amplitude=40, curvature=2, noise_level=noise,
+        ltype="sinusoidal", intensity=0.3, gaps=False)
+    kernel = kernel_builder(size=(9, 5), unit=False)
+    grad = np.asarray(comp_grad_img(img, kernel), dtype=np.float64)
+    N = size[1]
+    init = np.array([[0, edge[0, 0]], [N - 1, edge[N - 1, 0]]])
+    return grad, edge, init, delta_x
+
+
+def _run(grad, init, delta_x, seed=1, **kw):
+    cfg = make_config(
+        init, grad.shape, kernel_options={
+            "kernel": "RBF", "sigma_f": kw.pop("sigma_f", 30),
+            "length_scale": kw.pop("length_scale", 10)},
+        noise_y=1, N_samples=kw.pop("N_samples", 200),
+        score_thresh=0.5, delta_x=delta_x, keep_ratio=0.1,
+        pixel_thresh=5, seed=seed, fix_endpoints=True, **kw)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    state0 = init_state(cfg)
+    return cfg, run_trace(cfg, data, state0)
+
+
+@pytest.fixture(scope="module")
+def demo_trace():
+    grad, edge, init, delta_x = _demo_setup()
+    cfg, res = _run(grad, init, delta_x)
+    return grad, edge, init, delta_x, cfg, res
+
+
+def test_trace_converges(demo_trace):
+    _, _, _, _, cfg, res = demo_trace
+    assert bool(res.converged)
+    assert int(res.n_iters) >= 1
+    assert int(res.iter_nobs[int(res.n_iters) - 1]) >= cfg.algo_thresh
+
+
+def test_trace_accuracy(demo_trace):
+    grad, edge, _, _, _, res = demo_trace
+    pred = np.asarray(res.edge_trace)          # (E, 2) yx
+    true = edge[: grad.shape[1]]               # (N, 2) yx
+    mse = float(trace_MSE(jnp.asarray(pred), jnp.asarray(true)))
+    dice = float(trace_dicecoef(jnp.asarray(pred), jnp.asarray(true)))
+    assert mse < 4.0, mse
+    assert dice > 0.97, dice
+
+
+def test_trace_shapes_and_interval(demo_trace):
+    _, _, _, _, cfg, res = demo_trace
+    E = cfg.edge_length
+    assert res.edge_trace.shape == (E, 2)
+    assert res.cred_interval.shape == (2, E)
+    assert res.cred_interval_px.shape == (2, E)
+    # Quirk parity: cred_interval uses standardised-y std (gpet.py:266), so
+    # the pixel-unit interval must be at least as wide.
+    w_ref = np.asarray(res.cred_interval[1] - res.cred_interval[0])
+    w_px = np.asarray(res.cred_interval_px[1] - res.cred_interval_px[0])
+    assert np.all(w_px >= w_ref - 1e-6)
+    assert np.all(np.isfinite(np.asarray(res.y_mean)))
+
+
+def test_trace_deterministic(demo_trace):
+    grad, _, init, delta_x, _, res1 = demo_trace
+    _, res2 = _run(grad, init, delta_x)
+    np.testing.assert_array_equal(np.asarray(res1.edge_trace),
+                                  np.asarray(res2.edge_trace))
+    np.testing.assert_allclose(np.asarray(res1.y_std),
+                               np.asarray(res2.y_std))
+
+
+def test_trace_seed_changes_samples_not_quality(demo_trace):
+    grad, edge, init, delta_x, _, _ = demo_trace
+    _, res = _run(grad, init, delta_x, seed=99)
+    pred = np.asarray(res.edge_trace)
+    mse = float(trace_MSE(jnp.asarray(pred),
+                          jnp.asarray(edge[: grad.shape[1]])))
+    assert mse < 4.0, mse
+
+
+def test_warm_start_accepts_user_obs():
+    grad, edge, init, delta_x = _demo_setup()
+    N = grad.shape[1]
+    # Seed a handful of true edge pixels as user observations (xy-space).
+    xs = np.arange(10, N - 10, 17)
+    user = np.stack([xs, edge[xs, 0]], axis=1)
+    cfg = make_config(
+        init, grad.shape,
+        kernel_options={"kernel": "RBF", "sigma_f": 30, "length_scale": 10},
+        noise_y=1, n_user_obs=user.shape[0], N_samples=200,
+        score_thresh=0.5, delta_x=delta_x, keep_ratio=0.1, pixel_thresh=5,
+        seed=1, fix_endpoints=True)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    state0 = init_state(cfg, user_obs_xy=user)
+    res = run_trace(cfg, data, state0)
+    assert bool(res.converged)
+    mse = float(trace_MSE(jnp.asarray(np.asarray(res.edge_trace)),
+                          jnp.asarray(edge[:N])))
+    assert mse < 4.0, mse
+
+
+def test_matern_kernel_trace():
+    grad, edge, init, delta_x = _demo_setup()
+    cfg = make_config(
+        init, grad.shape,
+        kernel_options={"kernel": "Matern", "sigma_f": 30,
+                        "length_scale": 10, "nu": 2.5},
+        noise_y=1, N_samples=200, score_thresh=0.5, delta_x=delta_x,
+        keep_ratio=0.1, pixel_thresh=5, seed=1, fix_endpoints=True)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    res = run_trace(cfg, data, init_state(cfg))
+    assert bool(res.converged)
+    mse = float(trace_MSE(jnp.asarray(np.asarray(res.edge_trace)),
+                          jnp.asarray(edge[: grad.shape[1]])))
+    assert mse < 6.0, mse

@@ -1,0 +1,166 @@
+"""Trace-pipeline unit tests vs the NumPy reference oracles."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gaussian_process_edge_trace_tpu.trace.kde import curve_kde, gradient_kde
+from gaussian_process_edge_trace_tpu.trace.scoring import (
+    best_curves, curve_costs)
+from gaussian_process_edge_trace_tpu.trace.select import (
+    make_bin_spec, select_pixels)
+
+from reference_oracle import (
+    oracle_cost, oracle_gradient_kde, oracle_kde, oracle_kde_direct,
+    oracle_select)
+
+
+# ---------------------------------------------------------------------------
+# KDE
+# ---------------------------------------------------------------------------
+
+def _random_curves(rng, M, N, x_st, E, S):
+    y = (M / 2 + (M / 4) * np.sin(np.linspace(0, 3, E))[:, None]
+         + rng.normal(0, M / 10, (E, S)))
+    return y
+
+
+def test_curve_kde_matches_oracle():
+    rng = np.random.RandomState(0)
+    M, N, x_st, E, S = 37, 53, 4, 45, 7
+    y = _random_curves(rng, M, N, x_st, E, S)
+    # Push some points out of the image to exercise the deletion rule.
+    y[:, 0] += M
+    w = rng.uniform(0.5, 2.0, S)
+
+    got = np.asarray(curve_kde(jnp.asarray(y), jnp.asarray(w), M, N, x_st))
+
+    xs = np.arange(x_st, x_st + E)
+    pts = np.stack([np.tile(xs[:, None], (1, S)).ravel(), y.ravel()], axis=1)
+    wpts = np.tile(w[None, :], (E, 1)).ravel()
+    want = oracle_kde(pts, wpts, M, N)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_curve_kde_close_to_direct_gaussian_sum():
+    # Binned KDE must preserve the *shape* of the direct Gaussian-sum KDE
+    # (rank correlation drives pixel selection, SURVEY.md §7).
+    rng = np.random.RandomState(1)
+    M, N, x_st, E, S = 30, 40, 2, 35, 5
+    y = _random_curves(rng, M, N, x_st, E, S)
+    w = rng.uniform(0.5, 2.0, S)
+    got = np.asarray(curve_kde(jnp.asarray(y), jnp.asarray(w), M, N, x_st))
+    xs = np.arange(x_st, x_st + E)
+    pts = np.stack([np.tile(xs[:, None], (1, S)).ravel(), y.ravel()], axis=1)
+    wpts = np.tile(w[None, :], (E, 1)).ravel()
+    direct = oracle_kde_direct(pts, wpts, M, N)
+    # Linear binning at bw=1 carries an inherent few-percent discretisation
+    # error vs the exact Gaussian sum — KDEpy's FFTKDE has the same one.
+    np.testing.assert_allclose(got, direct, atol=0.06)
+    corr = np.corrcoef(got.ravel(), direct.ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_gradient_kde_matches_oracle():
+    rng = np.random.RandomState(2)
+    M, N = 41, 33
+    grad = rng.uniform(0, 1, (M, N))
+    grad[grad < 0.4] = 0.0
+    got = np.asarray(gradient_kde(jnp.asarray(grad)))
+    want = oracle_gradient_kde(grad)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Curve cost
+# ---------------------------------------------------------------------------
+
+def test_curve_costs_match_oracle():
+    rng = np.random.RandomState(3)
+    M, N, x_st, E, S = 48, 64, 5, 50, 9
+    grad = rng.uniform(0, 1, (M, N))
+    x = np.arange(x_st, x_st + E)
+    y = _random_curves(rng, M, N, x_st, E, S)
+    got = np.asarray(curve_costs(jnp.asarray(grad), jnp.asarray(x),
+                                 jnp.asarray(y)))
+    want = np.array([oracle_cost(grad, x, y[:, s]) for s in range(S)])
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_best_curves_topk():
+    rng = np.random.RandomState(4)
+    E, S, K = 20, 30, 5
+    ys = rng.normal(size=(E, S))
+    costs = rng.uniform(1, 2, S)
+    bc, bcosts = best_curves(jnp.asarray(ys), jnp.asarray(costs), K)
+    order = np.argsort(costs)[:K]
+    np.testing.assert_allclose(np.asarray(bcosts), costs[order])
+    np.testing.assert_allclose(np.asarray(bc), ys[:, order])
+
+
+# ---------------------------------------------------------------------------
+# Pixel selection
+# ---------------------------------------------------------------------------
+
+def _run_select(kde, gkde, pre_xy, thresh, x_st, x_en, delta_x,
+                pixel_thresh, algo_thresh, fix_endpoints):
+    M, N = kde.shape
+    spec = make_bin_spec(N, x_st, x_en, delta_x)
+    B = spec.n_bins
+    P = max(len(pre_xy), 1)
+    ox = np.zeros(P, np.int32)
+    oy = np.zeros(P, np.int32)
+    ov = np.zeros(P, bool)
+    for i, (x, y) in enumerate(pre_xy):
+        ox[i], oy[i], ov[i] = x, y, True
+    sel = select_pixels(
+        jnp.asarray(kde), jnp.asarray(gkde), jnp.asarray(ox),
+        jnp.asarray(oy), jnp.asarray(ov),
+        jnp.asarray(len(pre_xy), jnp.int32),
+        jnp.asarray(thresh, jnp.float64), spec,
+        fix_endpoints, 1e-3, pixel_thresh, algo_thresh)
+    got = {(int(x), int(y))
+           for x, y, v in zip(sel.obs_x, sel.obs_y, sel.obs_valid) if v}
+    return got, float(sel.score_thresh), int(sel.n_fobs)
+
+
+@pytest.mark.parametrize("fix_endpoints", [True, False])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_select_matches_oracle(seed, fix_endpoints):
+    rng = np.random.RandomState(seed)
+    M, N = 40, 60
+    x_st, x_en, delta_x = 3, 55, 5
+    pixel_thresh, algo_thresh = 3, 8
+    # A KDE concentrated near a band, so candidates are sparse.
+    kde = np.zeros((M, N))
+    yc = (M / 2 + 6 * np.sin(np.linspace(0, 3, N))).astype(int)
+    for x in range(N):
+        kde[max(yc[x] - 3, 0):yc[x] + 3, x] = rng.uniform(0.2, 1.0, size=(
+            min(yc[x] + 3, M) - max(yc[x] - 3, 0)))
+    kde /= kde.max()
+    gkde = rng.uniform(0, 1, (M, N))
+    pre_xy = [(10, yc[10]), (25, yc[25] + 1), (40, 0)]  # last: kde=0, drops
+
+    want_fobs, want_thresh = oracle_select(
+        kde, gkde, np.array(pre_xy), 0.7, x_st, x_en, delta_x,
+        pixel_thresh, algo_thresh, fix_endpoints)
+    got, got_thresh, got_n = _run_select(
+        kde, gkde, pre_xy, 0.7, x_st, x_en, delta_x, pixel_thresh,
+        algo_thresh, fix_endpoints)
+
+    assert got_n == want_fobs.shape[0]
+    assert got == {(int(x), int(y)) for x, y in want_fobs}
+    np.testing.assert_allclose(got_thresh, want_thresh, rtol=1e-6)
+
+
+def test_select_no_decay_on_first_pass():
+    # If enough bins pass at the initial threshold, it must not decay
+    # (gpet.py:594-595: the first inner pass multiplies by 1.0).
+    rng = np.random.RandomState(7)
+    M, N = 20, 40
+    kde = rng.uniform(0.5, 1.0, (M, N))
+    gkde = rng.uniform(0.5, 1.0, (M, N))
+    got, thresh, n = _run_select(kde, gkde, [], 0.3, 2, 37, 5,
+                                 2, 5, False)
+    assert thresh == pytest.approx(0.3)
+    assert n >= 5
