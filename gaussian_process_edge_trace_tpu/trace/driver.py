@@ -357,20 +357,11 @@ def _final_fit(cfg: TracerConfig, data: TracerData, key, state: TraceState):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def run_trace(cfg: TracerConfig, data: TracerData,
-              state0: TraceState) -> TraceResult:
-    """The full trace as one XLA program (gpet.py:768-908)."""
+def finish_trace(cfg: TracerConfig, data: TracerData,
+                 state: TraceState) -> TraceResult:
+    """Post-loop finalisation: converged LML fit, credible interval, yx
+    trace, final-cost telemetry (gpet.py:874-890)."""
     key = jax.random.PRNGKey(cfg.seed)
-
-    def cond(s: TraceState):
-        return (s.n_fobs < cfg.algo_thresh) & (s.it < cfg.max_iters)
-
-    def body(s: TraceState):
-        new_state, _ = _iteration(cfg, data, key, s)
-        return new_state
-
-    state = jax.lax.while_loop(cond, body, state0)
-
     key_final = jax.random.fold_in(key, 0)   # seed+N_iter analogue
     y_mean, y_std, y_s, theta, lml = _final_fit(cfg, data, key_final, state)
 
@@ -389,6 +380,23 @@ def run_trace(cfg: TracerConfig, data: TracerData,
         iter_costs=state.iter_costs, iter_nobs=state.iter_nobs,
         iter_thresh=state.iter_thresh, obs_x=state.obs_x,
         obs_y=state.obs_y, obs_valid=state.obs_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_trace(cfg: TracerConfig, data: TracerData,
+              state0: TraceState) -> TraceResult:
+    """The full trace as one XLA program (gpet.py:768-908)."""
+    key = jax.random.PRNGKey(cfg.seed)
+
+    def cond(s: TraceState):
+        return (s.n_fobs < cfg.algo_thresh) & (s.it < cfg.max_iters)
+
+    def body(s: TraceState):
+        new_state, _ = _iteration(cfg, data, key, s)
+        return new_state
+
+    state = jax.lax.while_loop(cond, body, state0)
+    return finish_trace(cfg, data, state)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
