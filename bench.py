@@ -1,0 +1,86 @@
+"""Headline benchmark: wall-clock per 500×500 edge trace (README demo
+config, BASELINE.json config 1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+``value`` is the steady-state median wall-clock of the fused TPU trace in
+milliseconds and ``vs_baseline`` is the speedup factor over the CPU
+reference implementation (benchmarks/reference_cpu.py — the reference
+algorithm measured on this machine, since the reference's own KDEpy/skimage
+deps are not installed here). Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import gaussian_process_edge_trace_tpu as gpt
+    from gaussian_process_edge_trace_tpu.trace.driver import (
+        init_state, make_config, make_data, run_trace)
+
+    log("devices:", jax.devices())
+
+    # README demo config (README.md:46-84).
+    test_img, true_edge = gpt.construct_test_img(
+        (500, 500), 200, 4, 0.05, "sinusoidal", 0.3, gaps=True)
+    kernel = gpt.kernel_builder((11, 5), unit=False)
+    grad = np.asarray(gpt.comp_grad_img(test_img, kernel), dtype=np.float64)
+    init = true_edge[[0, -1]][:, [1, 0]]
+    ko = {"kernel": "RBF", "sigma_f": 75, "length_scale": 20}
+    kw = dict(noise_y=1, N_samples=1000, score_thresh=1, delta_x=5,
+              keep_ratio=0.1, pixel_thresh=5, seed=1, fix_endpoints=True)
+
+    # --- TPU path (fused program, steady state) --------------------------
+    cfg = make_config(init, grad.shape, kernel_options=ko, **kw)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    state0 = init_state(cfg)
+    t0 = time.perf_counter()
+    res = jax.block_until_ready(run_trace(cfg, data, state0))
+    log(f"first call (incl compile): {time.perf_counter() - t0:.2f}s")
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = jax.block_until_ready(run_trace(cfg, data, state0))
+        times.append(time.perf_counter() - t0)
+    tpu_ms = float(np.median(times) * 1e3)
+    pred = np.asarray(res.edge_trace)
+    tpu_mse = float(gpt.trace_MSE(pred, true_edge))
+    tpu_dice = float(gpt.trace_dicecoef(pred, true_edge))
+    log(f"tpu: {tpu_ms:.1f} ms  iters={int(res.n_iters)} "
+        f"MSE={tpu_mse:.2f} DICE={tpu_dice:.4f}")
+
+    # --- CPU reference baseline ------------------------------------------
+    from benchmarks.reference_cpu import ReferenceTracerCPU
+    t0 = time.perf_counter()
+    ref = ReferenceTracerCPU(init, grad, ko, **kw)
+    ref_edge, _, ref_iters = ref()
+    ref_ms = (time.perf_counter() - t0) * 1e3
+    ref_mse = float(gpt.trace_MSE(ref_edge, true_edge))
+    ref_dice = float(gpt.trace_dicecoef(ref_edge, true_edge))
+    log(f"cpu reference: {ref_ms:.1f} ms  iters={ref_iters} "
+        f"MSE={ref_mse:.2f} DICE={ref_dice:.4f}")
+
+    assert tpu_dice > 0.98, f"accuracy regression: DICE {tpu_dice}"
+
+    print(json.dumps({
+        "metric": "trace_500x500_wallclock",
+        "value": round(tpu_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(ref_ms / tpu_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Multi-device tracing: data-parallel frames × sample-parallel draws.
+
+The reference is strictly single-image, single-process (SURVEY.md §2:
+"Parallelism / distributed components: NONE"). The TPU framework makes the
+two data-parallel axes it leaves on the table first-class:
+
+- **dp ("data" axis)**: independent frames/edges sharded across devices —
+  each device runs complete traces for its shard of the batch
+  (BASELINE.json config 5's batched-frames case);
+- **sp ("sample" axis)**: the N_samples posterior draws of *one* trace
+  split across devices — Matheron draws, curve costs and KDE binning are
+  computed on local sample shards, stitched with one ``all_gather`` of the
+  cost vector (global top-N_keep) and one ``psum`` of the additive KDE
+  grid per iteration (BASELINE.json config 4's N_samples→10⁵ case).
+
+Both axes ride ``jax.shard_map`` over a ``Mesh``, letting XLA place the
+collectives on ICI. There is no tensor/pipeline parallelism to build: the
+largest model state is an (n_obs × n_obs) Gram that fits in one core's
+VMEM (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gaussian_process_edge_trace_tpu.trace.driver import (
+    TraceResult, TracerConfig, TracerData, TraceState, _iteration,
+    _round_up, finish_trace, frame_arrays, init_state, make_data,
+    prior_factor)
+
+DATA_AXIS = "data"
+SAMPLE_AXIS = "sample"
+
+
+def make_mesh(n_data: int, n_sample: int,
+              devices=None) -> Mesh:
+    """A (data, sample) device mesh. ``n_data * n_sample`` must equal the
+    device count used."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size == n_data * n_sample, (devices.size, n_data, n_sample)
+    return Mesh(devices.reshape(n_data, n_sample),
+                axis_names=(DATA_AXIS, SAMPLE_AXIS))
+
+
+def make_batch_data(cfg: TracerConfig, grad_imgs, inits) -> TracerData:
+    """Per-frame :class:`TracerData` with a leading frame axis on the
+    image-dependent leaves; the prior factor and x-grid depend only on the
+    (shared) config and stay unbatched."""
+    grad_imgs = jnp.asarray(grad_imgs)
+    inits = jnp.asarray(inits)
+    g, gkde, ix, iy = jax.vmap(
+        lambda gr, i: frame_arrays(cfg, gr, i))(grad_imgs, inits)
+    L_unit, x_grid = prior_factor(cfg)
+    return TracerData(grad_img=g, grad_kde=gkde, L_prior_unit=L_unit,
+                      x_grid=x_grid, init_x=ix, init_y=iy)
+
+
+def make_batch_state(cfg: TracerConfig, n_frames: int,
+                     user_obs_xy=None) -> TraceState:
+    """Stacked initial states for ``n_frames`` traces.
+
+    ``user_obs_xy`` may be ``None`` or an (F, U, 2) warm-start array (e.g.
+    the previous frame's accepted pixels, gpet.py:57-61)."""
+    if user_obs_xy is None:
+        s = init_state(cfg)
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (n_frames,) + a.shape), s)
+    user_obs_xy = jnp.asarray(user_obs_xy, jnp.int32)
+    states = [init_state(cfg, user_obs_xy=user_obs_xy[f])
+              for f in range(n_frames)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _sharded_single_trace(cfg: TracerConfig, data: TracerData,
+                          state0: TraceState, n_sample_shards: int,
+                          sample_axis) -> TraceResult:
+    """One full trace, optionally sample-sharded over ``sample_axis``."""
+    key = jax.random.PRNGKey(cfg.seed)
+
+    def cond(s):
+        return (s.n_fobs < cfg.algo_thresh) & (s.it < cfg.max_iters)
+
+    def body(s):
+        new_state, _ = _iteration(cfg, data, key, s,
+                                  sample_axis=sample_axis,
+                                  n_sample_shards=n_sample_shards)
+        return new_state
+
+    state = jax.lax.while_loop(cond, body, state0)
+    return finish_trace(cfg, data, state)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "n_frames"))
+def sharded_trace_batch(cfg: TracerConfig, data: TracerData,
+                        states0: TraceState, mesh: Mesh,
+                        n_frames: int) -> TraceResult:
+    """Trace ``n_frames`` independent frames on a (data, sample) mesh.
+
+    Frames are sharded over the data axis; within each frame the
+    N_samples posterior draws are sharded over the sample axis.
+    ``n_frames`` must divide by the data-axis size and ``cfg.N_samples``
+    by the sample-axis size.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    assert n_frames % n_data == 0, (n_frames, n_data)
+    assert cfg.N_samples % n_sample == 0, (cfg.N_samples, n_sample)
+
+    frame_sharded = P(DATA_AXIS)
+    data_specs = TracerData(
+        grad_img=frame_sharded, grad_kde=frame_sharded,
+        L_prior_unit=P(), x_grid=P(), init_x=frame_sharded,
+        init_y=frame_sharded)
+    state_specs = jax.tree.map(lambda _: frame_sharded, states0)
+    out_specs = TraceResult(
+        *([frame_sharded] * len(TraceResult._fields)))
+
+    def local_fn(data_local, states_local):
+        return _trace_local(cfg, data_local, states_local, n_sample,
+                            SAMPLE_AXIS)
+
+    # check_vma=False: loop carries mix replicated state with
+    # collective-produced (axis-varying-typed) values; the replication
+    # invariant holds by construction (psum/all_gather give identical
+    # results on every sample-axis member), so skip the static typing.
+    return jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(data_specs, state_specs),
+        out_specs=out_specs, check_vma=False)(data, states0)
+
+
+def _trace_local(cfg, data_local, states_local, n_sample_shards,
+                 sample_axis=None):
+    """vmap complete traces over this device's local frames."""
+    def one(grad, gkde, ix, iy, state):
+        d = TracerData(grad_img=grad, grad_kde=gkde,
+                       L_prior_unit=data_local.L_prior_unit,
+                       x_grid=data_local.x_grid, init_x=ix, init_y=iy)
+        return _sharded_single_trace(cfg, d, state, n_sample_shards,
+                                     sample_axis)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
+        data_local.grad_img, data_local.grad_kde, data_local.init_x,
+        data_local.init_y, states_local)
+
+
+def trace_batch_vmap(cfg: TracerConfig, data: TracerData,
+                     states0: TraceState) -> TraceResult:
+    """Single-device batched tracing (plain vmap) — the dp-only fallback
+    and the numerical oracle for the sharded path."""
+    @jax.jit
+    def run(d, s):
+        return _trace_local(cfg, d, s, 1, None)
+    return run(data, states0)
+
+
+def trace_sequence(cfg: TracerConfig, grad_imgs, inits):
+    """Sequentially trace an image sequence, warm-starting each frame from
+    the previous frame's accepted observations (BASELINE.json config 5;
+    the reference's ``obs`` propagation mechanism, gpet.py:57-61).
+
+    Sequential in time by construction (each frame consumes the previous
+    frame's result); independent sequences batch via
+    :func:`sharded_trace_batch`.
+    """
+    from gaussian_process_edge_trace_tpu.trace.driver import run_trace
+
+    results = []
+    user_obs = None
+    for f in range(len(grad_imgs)):
+        n_user = 0 if user_obs is None else user_obs.shape[0]
+        cfg_f = cfg._replace(
+            n_user_obs=n_user,
+            n_train=_round_up(cfg.n_inits + n_user + cfg.bins.n_bins, 8))
+        data_f = make_data(cfg_f, jnp.asarray(grad_imgs[f]),
+                           jnp.asarray(inits[f]))
+        state_f = init_state(cfg_f, user_obs_xy=user_obs)
+        res = run_trace(cfg_f, data_f, state_f)
+        results.append(res)
+        valid = np.asarray(res.obs_valid)
+        user_obs = np.stack([np.asarray(res.obs_x)[valid],
+                             np.asarray(res.obs_y)[valid]], axis=1)
+    return results

@@ -199,20 +199,34 @@ def make_config(init, grad_img_shape, kernel_options=(1, 3, 3), noise_y=1,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def make_data(cfg: TracerConfig, grad_img, init_xy) -> TracerData:
-    """Precompute the per-image device arrays (gpet.py:97,122-127)."""
+def frame_arrays(cfg: TracerConfig, grad_img, init_xy):
+    """Per-frame arrays (gpet.py:97,127): normalised gradient image,
+    gradient KDE, sorted init points. vmap-able over a frame batch."""
     g = normalise(grad_img, (0, 1), jnp.float32)
     gkde = gradient_kde(g, kde_thresh=cfg.kde_thresh)
+    init_xy = jnp.asarray(init_xy, jnp.int32)
+    order = jnp.argsort(init_xy[:, 0])
+    init_xy = init_xy[order]
+    return g, gkde, init_xy[:, 0], init_xy[:, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prior_factor(cfg: TracerConfig):
+    """Config-only precompute (one per config, shared by all frames): the
+    unit prior factor over all image columns and the output x-grid."""
     cols = jnp.arange(cfg.N, dtype=jnp.float32)
     L_unit = prior_grid_cholesky(cfg.kernel, cols, cfg.sigma_l,
                                  jitter=cfg.gp_jitter)
     x_grid = cfg.x_st + jnp.arange(cfg.edge_length, dtype=jnp.int32)
-    init_xy = jnp.asarray(init_xy, jnp.int32)
-    order = jnp.argsort(init_xy[:, 0])
-    init_xy = init_xy[order]
+    return L_unit, x_grid
+
+
+def make_data(cfg: TracerConfig, grad_img, init_xy) -> TracerData:
+    """Precompute the per-image device arrays (gpet.py:97,122-127)."""
+    g, gkde, ix, iy = frame_arrays(cfg, grad_img, init_xy)
+    L_unit, x_grid = prior_factor(cfg)
     return TracerData(grad_img=g, grad_kde=gkde, L_prior_unit=L_unit,
-                      x_grid=x_grid, init_x=init_xy[:, 0],
-                      init_y=init_xy[:, 1])
+                      x_grid=x_grid, init_x=ix, init_y=iy)
 
 
 def init_state(cfg: TracerConfig, user_obs_xy=None) -> TraceState:
@@ -258,7 +272,7 @@ def _train_set(cfg: TracerConfig, data: TracerData, state: TraceState):
 
 
 def _sample_round(cfg: TracerConfig, data: TracerData, x, y, mask, noise_w,
-                  key):
+                  key, n_samples=None):
     """One sampling-mode GP round (gpet.py:227-230,255-261): scale y by
     std+1, set variance to σf²/y_s², fit + draw N_samples Matheron curves,
     rescale."""
@@ -269,23 +283,62 @@ def _sample_round(cfg: TracerConfig, data: TracerData, x, y, mask, noise_w,
     samples = fit_and_sample(
         key, cfg.kernel, x.astype(jnp.float32), yf / y_s, cfg.sigma_l,
         variance, diag_noise, mask, data.L_prior_unit, x_idx=x,
-        grid_out=data.x_grid, n_samples=cfg.N_samples, centre=True)
+        grid_out=data.x_grid,
+        n_samples=cfg.N_samples if n_samples is None else n_samples,
+        centre=True)
     return samples * y_s  # (E, S)
 
 
-def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState):
-    """One outer-loop iteration (gpet.py:829-861)."""
+def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState,
+               sample_axis: Optional[str] = None, n_sample_shards: int = 1):
+    """One outer-loop iteration (gpet.py:829-861).
+
+    With ``sample_axis`` set (inside :func:`shard_map` over a mesh axis of
+    size ``n_sample_shards``), the N_samples posterior draws, curve costs
+    and KDE binning are computed on local shards; the global top-N_keep
+    selection uses an ``all_gather`` of the (tiny) cost vector and the KDE
+    reduction is a ``psum`` of the additive blurred grids — the
+    sample-parallel (sp) axis of SURVEY.md §2. The selection/GP state stays
+    replicated across the axis (psum/all_gather results are identical on
+    every member). One deviation under sp: cost ties at the N_keep
+    boundary may keep a few extra curves (weight-thresholding instead of
+    an exact-k gather); ties have probability ~0 for continuous costs.
+    """
     x, y, mask, noise_w = _train_set(cfg, data, state)
     key_it = jax.random.fold_in(key, state.it + 1)  # seed+N_iter+1
-    samples = _sample_round(cfg, data, x, y, mask, noise_w, key_it)
+    if sample_axis is not None:
+        key_it = jax.random.fold_in(key_it, jax.lax.axis_index(sample_axis))
+    s_local = cfg.N_samples // n_sample_shards
+    samples = _sample_round(cfg, data, x, y, mask, noise_w, key_it,
+                            n_samples=s_local)
 
     costs = curve_costs(data.grad_img, data.x_grid, samples,
                         kde_thresh=cfg.kde_thresh)
-    bc, bcosts = best_curves(samples, costs, cfg.N_keep)
 
-    inv = 1.0 / bcosts
-    weights = inv / jnp.sum(inv)                 # gpet.py:492-493
-    kde_arr = curve_kde(bc, weights, cfg.M, cfg.N, cfg.x_st)
+    if sample_axis is None:
+        bc, bcosts = best_curves(samples, costs, cfg.N_keep)
+        inv = 1.0 / bcosts
+        weights = inv / jnp.sum(inv)                 # gpet.py:492-493
+        kde_arr = curve_kde(bc, weights, cfg.M, cfg.N, cfg.x_st)
+        opt_curve, opt_cost = bc[:, 0], bcosts[0]
+    else:
+        from gaussian_process_edge_trace_tpu.trace.kde import (
+            curve_kde_raw, kde_normalise)
+        costs_g = jax.lax.all_gather(costs, sample_axis,
+                                     tiled=True)        # (S,)
+        kth = jnp.sort(costs_g)[cfg.N_keep - 1]
+        keep = costs <= kth
+        w = jnp.where(keep, 1.0 / costs, 0.0)  # global scale cancels in
+        #                                        the KDE min-max
+        raw = curve_kde_raw(samples, w, cfg.M, cfg.N, cfg.x_st)
+        kde_arr = kde_normalise(jax.lax.psum(raw, sample_axis))
+        ig = jnp.argmin(costs_g)
+        src = (ig // s_local).astype(jnp.int32)
+        lidx = (ig % s_local).astype(jnp.int32)
+        me = jax.lax.axis_index(sample_axis)
+        opt_curve = jax.lax.psum(
+            jnp.where(me == src, samples[:, lidx], 0.0), sample_axis)
+        opt_cost = costs_g[ig]
 
     # Previous observations = user warm-start ∪ binned buffer.
     prev_x = jnp.concatenate([state.user_x, state.obs_x])
@@ -304,8 +357,8 @@ def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState):
         user_x=state.user_x, user_y=state.user_y,
         user_valid=jnp.zeros_like(state.user_valid),  # first-iter only
         score_thresh=sel.score_thresh, n_fobs=sel.n_fobs, it=i + 1,
-        iter_curves=state.iter_curves.at[i].set(bc[:, 0]),
-        iter_costs=state.iter_costs.at[i].set(bcosts[0]),
+        iter_curves=state.iter_curves.at[i].set(opt_curve),
+        iter_costs=state.iter_costs.at[i].set(opt_cost),
         iter_nobs=state.iter_nobs.at[i].set(sel.n_fobs),
         iter_thresh=state.iter_thresh.at[i].set(sel.score_thresh))
     return new_state, samples

@@ -81,20 +81,13 @@ def _minmax(grid):
     return (grid - lo) / (hi - lo)
 
 
-@functools.partial(jax.jit, static_argnames=("M", "N", "x_start", "radius"))
-def curve_kde(y_curves, weights, M: int, N: int, x_start: int,
-              radius: int = DEFAULT_RADIUS, bw: float = 1.0):
-    """KDE of the best posterior curves on the (M, N) pixel grid.
+def curve_kde_raw(y_curves, weights, M: int, N: int, x_start: int,
+                  radius: int = DEFAULT_RADIUS, bw: float = 1.0):
+    """Un-normalised curve KDE (binning + blur + crop, no min-max).
 
-    Args:
-      y_curves: (E, S) y-values of the S best curves at the E grid columns
-        ``x_start .. x_start+E-1``.
-      weights: (S,) per-curve weights (normalised inverse costs,
-        gpet.py:492-493 — normalisation is irrelevant under min-max).
-      M, N: image shape. x_start: first grid column.
-
-    Returns:
-      (M, N) KDE, min-max normalised to [0, 1].
+    The building block for sample-axis sharding: the blurred grid is
+    additive over curves, so per-device partial grids can be ``psum``-med
+    over the sample mesh axis before the global min-max normalisation.
     """
     E, S = y_curves.shape
     dtype = y_curves.dtype
@@ -116,7 +109,31 @@ def curve_kde(y_curves, weights, M: int, N: int, x_start: int,
 
     taps = gaussian_taps(radius, bw, dtype)
     blurred = _separable_blur(grid, taps)
-    return _minmax(blurred[1:-1, 1:-1])
+    return blurred[1:-1, 1:-1]
+
+
+@functools.partial(jax.jit, static_argnames=("M", "N", "x_start", "radius"))
+def curve_kde(y_curves, weights, M: int, N: int, x_start: int,
+              radius: int = DEFAULT_RADIUS, bw: float = 1.0):
+    """KDE of the best posterior curves on the (M, N) pixel grid.
+
+    Args:
+      y_curves: (E, S) y-values of the S best curves at the E grid columns
+        ``x_start .. x_start+E-1``.
+      weights: (S,) per-curve weights (normalised inverse costs,
+        gpet.py:492-493 — normalisation is irrelevant under min-max).
+      M, N: image shape. x_start: first grid column.
+
+    Returns:
+      (M, N) KDE, min-max normalised to [0, 1].
+    """
+    return _minmax(curve_kde_raw(y_curves, weights, M, N, x_start,
+                                 radius, bw))
+
+
+def kde_normalise(raw):
+    """Min-max normalise a (psum-reduced) raw KDE grid (gpet.py:527)."""
+    return _minmax(raw)
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))

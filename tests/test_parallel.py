@@ -1,0 +1,119 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: the TPU analogue of a fake backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussian_process_edge_trace_tpu.parallel import (
+    make_batch_data, make_batch_state, make_mesh, sharded_trace_batch,
+    trace_batch_vmap, trace_sequence)
+from gaussian_process_edge_trace_tpu.trace.driver import make_config
+from gaussian_process_edge_trace_tpu.utils.image import (
+    comp_grad_img, kernel_builder)
+from gaussian_process_edge_trace_tpu.utils.metrics import trace_MSE
+from gaussian_process_edge_trace_tpu.utils.synthetic import construct_test_img
+
+
+def _frames(n_frames, size=(64, 64)):
+    grads, inits, edges = [], [], []
+    for f in range(n_frames):
+        img, edge = construct_test_img(
+            size=size, amplitude=20, curvature=2, noise_level=0.01,
+            ltype="sinusoidal", intensity=0.3, gaps=False, seed=f + 1)
+        grad = np.asarray(comp_grad_img(img, kernel_builder((7, 3))),
+                          dtype=np.float32)
+        N = size[1]
+        grads.append(grad)
+        inits.append([[0, edge[0, 0]], [N - 1, edge[N - 1, 0]]])
+        edges.append(edge[:N])
+    return np.stack(grads), np.asarray(inits), np.stack(edges)
+
+
+def _cfg(shape, n_samples=64, seed=3):
+    return make_config(
+        np.array([[0, shape[0] // 2], [shape[1] - 1, shape[0] // 2]]),
+        shape, kernel_options={"kernel": "RBF", "sigma_f": 20,
+                               "length_scale": 7},
+        noise_y=1, N_samples=n_samples, score_thresh=0.5, delta_x=5,
+        keep_ratio=0.25, pixel_thresh=4, seed=seed, fix_endpoints=True)
+
+
+def _cfg_for(inits, shape, **kw):
+    return make_config(inits[0], shape,
+                       kernel_options={"kernel": "RBF", "sigma_f": 20,
+                                       "length_scale": 7},
+                       noise_y=1, N_samples=kw.pop("n_samples", 64),
+                       score_thresh=0.5, delta_x=5, keep_ratio=0.25,
+                       pixel_thresh=4, seed=3, fix_endpoints=True, **kw)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_batch_converges_and_is_accurate():
+    grads, inits, edges = _frames(4)
+    cfg = _cfg_for(inits, grads.shape[1:])
+    data = make_batch_data(cfg, grads, inits)
+    states = make_batch_state(cfg, 4)
+    mesh = make_mesh(2, 4)
+    res = sharded_trace_batch(cfg, data, states, mesh, n_frames=4)
+    assert res.edge_trace.shape == (4, cfg.edge_length, 2)
+    for f in range(4):
+        assert bool(res.converged[f])
+        mse = float(trace_MSE(jnp.asarray(np.asarray(res.edge_trace[f])),
+                              jnp.asarray(edges[f])))
+        # Tiny 64x64 / 64-sample configs are RNG-variance dominated
+        # (the single-device path spans the same range); the tight
+        # accuracy bound lives in test_driver.py.
+        assert mse < 30.0, (f, mse)
+
+
+def test_sharded_matches_vmap_oracle_statistically():
+    # The sharded path draws per-device sample shards (different RNG
+    # stream than single-device), so equality is metric-level, not bitwise.
+    grads, inits, edges = _frames(2)
+    cfg = _cfg_for(inits, grads.shape[1:])
+    data = make_batch_data(cfg, grads, inits)
+    states = make_batch_state(cfg, 2)
+
+    ref = trace_batch_vmap(cfg, data, states)
+    mesh = make_mesh(1, 8)
+    got = sharded_trace_batch(cfg, data, states, mesh, n_frames=2)
+    for f in range(2):
+        mse_ref = float(trace_MSE(
+            jnp.asarray(np.asarray(ref.edge_trace[f])),
+            jnp.asarray(edges[f])))
+        mse_got = float(trace_MSE(
+            jnp.asarray(np.asarray(got.edge_trace[f])),
+            jnp.asarray(edges[f])))
+        assert bool(got.converged[f])
+        assert mse_ref < 30.0 and mse_got < 30.0, (mse_ref, mse_got)
+
+
+def test_data_axis_only_mesh():
+    grads, inits, edges = _frames(8)
+    cfg = _cfg_for(inits, grads.shape[1:])
+    data = make_batch_data(cfg, grads, inits)
+    states = make_batch_state(cfg, 8)
+    mesh = make_mesh(8, 1)
+    res = sharded_trace_batch(cfg, data, states, mesh, n_frames=8)
+    assert np.all(np.asarray(res.converged))
+
+
+def test_trace_sequence_warm_start():
+    grads, inits, edges = _frames(3)
+    cfg = _cfg_for(inits, grads.shape[1:])
+    results = trace_sequence(cfg, grads, inits)
+    assert len(results) == 3
+    for f, res in enumerate(results):
+        mse = float(trace_MSE(jnp.asarray(np.asarray(res.edge_trace)),
+                              jnp.asarray(edges[f])))
+        # Tiny 64x64 / 64-sample configs are RNG-variance dominated
+        # (the single-device path spans the same range); the tight
+        # accuracy bound lives in test_driver.py.
+        assert mse < 30.0, (f, mse)
+    # Warm-started frames should not need more iterations than frame 0.
+    assert int(results[2].n_iters) <= int(results[0].n_iters) + 1
