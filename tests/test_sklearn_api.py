@@ -1,0 +1,140 @@
+"""GaussianProcessRegressor API tests vs the installed sklearn oracle.
+
+sklearn (stock) is installed in this image, so the homoscedastic
+``normalize_y=False`` paths can be checked against it directly; the
+reference fork's deltas (mean-removal-only normalize_y, per-point noise
+weights) are checked against hand-rolled NumPy formulas.
+"""
+
+import numpy as np
+import pytest
+
+import sklearn.gaussian_process as skgp
+import sklearn.gaussian_process.kernels as skk
+
+from gaussian_process_edge_trace_tpu.models.sklearn_api import (
+    ConstantKernel, GaussianProcessRegressor, Matern, RBF,
+    WeightedWhiteKernel)
+
+
+def _data(n=14, seed=0):
+    rng = np.random.RandomState(seed)
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) * 3 + rng.normal(0, 0.1, n)
+    return x.reshape(-1, 1), y
+
+
+@pytest.mark.parametrize("kind", ["RBF", "Matern1.5", "Matern2.5"])
+def test_predict_matches_sklearn(kind):
+    X, y = _data()
+    if kind == "RBF":
+        ours_k = ConstantKernel(4.0, "fixed") * RBF(1.5, "fixed")
+        sk_k = skk.ConstantKernel(4.0, "fixed") * skk.RBF(1.5, "fixed")
+    else:
+        nu = float(kind[-3:])
+        ours_k = ConstantKernel(4.0, "fixed") * Matern(1.5, nu=nu)
+        sk_k = skk.ConstantKernel(4.0, "fixed") * skk.Matern(1.5, nu=nu)
+    ours = GaussianProcessRegressor(kernel=ours_k, alpha=1e-4,
+                                    optimizer=None).fit(X, y)
+    ref = skgp.GaussianProcessRegressor(kernel=sk_k, alpha=1e-4,
+                                        optimizer=None).fit(X, y)
+    Xq = np.linspace(-1, 11, 37).reshape(-1, 1)
+    m1, s1 = ours.predict(Xq.ravel(), return_std=True)
+    m2, s2 = ref.predict(Xq, return_std=True)
+    np.testing.assert_allclose(np.asarray(m1), m2, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s1), s2, rtol=1e-6, atol=1e-8)
+
+
+def test_lml_and_gradient_match_sklearn():
+    X, y = _data()
+    ours_k = (ConstantKernel(2.0) * RBF(1.2)
+              + WeightedWhiteKernel(noise_weight=1.0, noise_level=0.3))
+    ours = GaussianProcessRegressor(kernel=ours_k, alpha=1e-10,
+                                    optimizer=None).fit(X, y)
+    sk_k = (skk.ConstantKernel(2.0) * skk.RBF(1.2)
+            + skk.WhiteKernel(0.3))
+    ref = skgp.GaussianProcessRegressor(kernel=sk_k, alpha=1e-10,
+                                        optimizer=None).fit(X, y)
+    theta = np.log([2.0, 1.2, 0.3])
+    v1, g1 = ours.log_marginal_likelihood(theta, eval_gradient=True)
+    v2, g2 = ref.log_marginal_likelihood(theta, eval_gradient=True)
+    np.testing.assert_allclose(v1, v2, rtol=1e-9)
+    np.testing.assert_allclose(g1, g2, rtol=1e-6, atol=1e-8)
+
+
+def test_optimized_fit_reaches_sklearn_lml():
+    X, y = _data(n=20, seed=3)
+    ours_k = (ConstantKernel(1.0, (1e-2, 1e3)) * RBF(1.0, (1e-2, 1e2))
+              + WeightedWhiteKernel(noise_weight=1.0, noise_level=0.1,
+                                    noise_level_bounds=(1e-6, 1.0)))
+    ours = GaussianProcessRegressor(kernel=ours_k, alpha=1e-10,
+                                    n_restarts_optimizer=8,
+                                    random_state=0).fit(X, y)
+    sk_k = (skk.ConstantKernel(1.0, (1e-2, 1e3)) * skk.RBF(1.0, (1e-2, 1e2))
+            + skk.WhiteKernel(0.1, (1e-6, 1.0)))
+    ref = skgp.GaussianProcessRegressor(kernel=sk_k, alpha=1e-10,
+                                        n_restarts_optimizer=8,
+                                        random_state=0).fit(X, y)
+    ref_lml = ref.log_marginal_likelihood(ref.kernel_.theta)
+    # Different optimisers/restart draws: demand we reach at least the
+    # sklearn optimum minus a small slack.
+    assert ours.log_marginal_likelihood_value_ > ref_lml - 0.5
+
+
+def test_normalize_y_mean_removal_only():
+    # The fork removes the mean but does not scale (sklearn_gpr.py:225-240):
+    # predictions for y and y+c must differ by exactly c, and scaling y by
+    # s must scale predictions by exactly s (no internal re-scaling).
+    X, y = _data()
+    k = lambda: ConstantKernel(4.0, "fixed") * RBF(1.5, "fixed")
+    Xq = np.linspace(0, 10, 11)
+    m0 = np.asarray(GaussianProcessRegressor(
+        kernel=k(), alpha=1e-4, optimizer=None,
+        normalize_y=True).fit(X, y).predict(Xq))
+    m_shift = np.asarray(GaussianProcessRegressor(
+        kernel=k(), alpha=1e-4, optimizer=None,
+        normalize_y=True).fit(X, y + 100.0).predict(Xq))
+    np.testing.assert_allclose(m_shift - m0, 100.0, rtol=0, atol=1e-6)
+
+
+def test_weighted_noise_matches_manual_gram():
+    X, y = _data(n=9, seed=5)
+    w = np.array([1e-7, 1, 1, 1, 0.5, 1, 1, 1, 1e-7])
+    k = (ConstantKernel(4.0, "fixed") * RBF(1.5, "fixed")
+         + WeightedWhiteKernel(noise_weight=w, noise_level=0.7))
+    gp = GaussianProcessRegressor(kernel=k, alpha=1e-6,
+                                  optimizer=None).fit(X, y)
+    x = X.ravel()
+    K = 4.0 * np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2 / 1.5 ** 2)
+    K[np.diag_indices_from(K)] += 0.7 * w + 1e-6
+    Xq = np.linspace(0, 10, 7)
+    Ks = 4.0 * np.exp(-0.5 * (Xq[:, None] - x[None, :]) ** 2 / 1.5 ** 2)
+    want = Ks @ np.linalg.solve(K, y)
+    np.testing.assert_allclose(np.asarray(gp.predict(Xq)), want, rtol=1e-7)
+
+
+def test_sample_y_statistics():
+    X, y = _data()
+    k = (ConstantKernel(4.0, "fixed") * RBF(1.5, "fixed")
+         + WeightedWhiteKernel(noise_weight=1.0, noise_level=0.05))
+    gp = GaussianProcessRegressor(kernel=k, alpha=1e-8,
+                                  optimizer=None).fit(X, y)
+    Xq = np.linspace(0, 10, 25)
+    mean, std = gp.predict(Xq, return_std=True)
+    s = np.asarray(gp.sample_y(Xq, n_samples=4000, random_state=1))
+    assert s.shape == (25, 4000)
+    # Monte-Carlo tolerance: boundary stds are ~2, so the sample mean has
+    # ~2/sqrt(4000) ≈ 0.03 noise; allow 4 sigma.
+    np.testing.assert_allclose(s.mean(axis=1), np.asarray(mean), atol=0.13)
+    np.testing.assert_allclose(s.std(axis=1), np.asarray(std), atol=0.13)
+
+
+def test_prior_predict_before_fit():
+    k = ConstantKernel(4.0, "fixed") * RBF(1.5, "fixed")
+    gp = GaussianProcessRegressor(kernel=k, optimizer=None)
+    gp._kernel_ = __import__(
+        "gaussian_process_edge_trace_tpu.models.sklearn_api",
+        fromlist=["_normalise_kernel"])._normalise_kernel(k)
+    m, s = gp.predict(np.arange(5.0), return_std=True)
+    np.testing.assert_allclose(np.asarray(m), 0.0)
+    np.testing.assert_allclose(np.asarray(s), 2.0)
