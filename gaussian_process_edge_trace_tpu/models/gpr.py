@@ -56,12 +56,14 @@ def safe_cholesky(K, jitter_scales=(0.0, 1e-5, 1e-3)):
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
     scale = jnp.mean(jnp.diagonal(K))
-    L = jnp.linalg.cholesky(K + (jitter_scales[0] * scale) * eye)
-    for s in jitter_scales[1:]:
-        ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
-        Lj = jnp.linalg.cholesky(K + (s * scale) * eye)
-        L = jnp.where(ok, L, Lj)
-    return L
+    jit_arr = jnp.asarray(jitter_scales, K.dtype) * scale
+    # One BATCHED Cholesky over all candidates: same sequential depth as a
+    # single factorisation (TPU cost is depth-bound, width is ~free).
+    Ls = jnp.linalg.cholesky(K[None] + jit_arr[:, None, None] * eye[None])
+    ok = jnp.all(jnp.isfinite(jnp.diagonal(Ls, axis1=-2, axis2=-1)), axis=-1)
+    # First finite candidate (ascending jitter).
+    idx = jnp.argmax(ok)
+    return Ls[idx]
 
 
 def masked_mean(y, mask):
@@ -179,6 +181,7 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
       (E, n_samples) posterior curves (mean included).
     """
     G = L_prior_unit.shape[0]
+    E = grid_out.shape[0]
     k_prior, k_noise = jax.random.split(key)
 
     y_mean = jnp.where(centre, masked_mean(y, mask), 0.0)
@@ -195,7 +198,15 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
     w = jax.random.normal(k_noise, (x.shape[0], n_samples), dtype=f0.dtype)
     eps = jnp.sqrt(jnp.maximum(diag_noise, 0.0))[:, None] * w
 
-    resid = jnp.where(mask[:, None], yc[:, None] - f0[x_idx] - eps, 0.0)
+    # f0 at the training points via a one-hot contraction: TPU row
+    # gathers are slow, an (n, G) @ (G, S) matmul rides the MXU.
+    sel = (x_idx[:, None] == jnp.arange(G, dtype=x_idx.dtype)[None, :]
+           ).astype(f0.dtype)
+    # HIGHEST: a one-hot contraction must reproduce f0 exactly; default
+    # MXU bf16 passes would perturb the prior draws.
+    f0_x = jnp.matmul(sel, f0, precision=jax.lax.Precision.HIGHEST)
+
+    resid = jnp.where(mask[:, None], yc[:, None] - f0_x - eps, 0.0)
     A = cho_solve((L, True), resid)                        # (n, S)
     A = jnp.where(mask[:, None], A, 0.0)
 
@@ -203,7 +214,10 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
                     variance)
     Kq = jnp.where(mask[None, :], Kq, 0.0)                 # (E, n)
 
-    samples = y_mean + f0[grid_out] + Kq @ A               # (E, S)
+    # The output grid is contiguous within the extended grid (both are
+    # integer pixel columns), so f0 restriction is a dynamic slice.
+    f0_grid = jax.lax.dynamic_slice_in_dim(f0, grid_out[0], E, axis=0)
+    samples = y_mean + f0_grid + Kq @ A                    # (E, S)
     return samples
 
 

@@ -4,10 +4,21 @@ Replaces ``scipy.optimize.minimize(..., method='L-BFGS-B', jac=True)``
 (reference: sklearn_gpr.py:587-607) for kernel-hyperparameter optimisation.
 The reference deliberately removed the convergence check — "I don't need
 convergence, I just need an approximate mean function"
-(sklearn_gpr.py:596-599) — so a fixed-iteration projected L-BFGS with
-Armijo backtracking is more than sufficient, and unlike scipy it
-compiles into the trace program and **vmaps over the 12 restarts**
-(sklearn_gpr.py:284-288) instead of looping them on the host.
+(sklearn_gpr.py:596-599) — so a projected L-BFGS with Armijo backtracking
+is more than sufficient, and unlike scipy it compiles into the trace
+program and **vmaps over the 12 restarts** (sklearn_gpr.py:284-288)
+instead of looping them on the host.
+
+TPU-first structure (the objective is a Gram+Cholesky LML — tiny but
+latency-bound when serialised):
+
+- the Armijo line search evaluates ALL backtracking candidates in one
+  **batched** objective call (``vmap`` over step sizes) and selects the
+  first acceptable step, instead of scipy's sequential backtracking —
+  identical accepted step, ~20× fewer sequential kernels per iteration;
+- the outer loop is a ``lax.while_loop`` that exits as soon as the
+  iterate converges (projected-gradient tolerance or line-search failure)
+  rather than a fixed-length scan.
 
 Bounds are handled by gradient projection: iterates are clipped to the box
 and descent directions are zeroed along active constraints.
@@ -46,8 +57,9 @@ def minimize_lbfgs_b(fun, x0, lb, ub, max_iters=64, history=8,
                      max_backtracks=20, tol=1e-9):
     """Minimise ``fun`` (returning ``(value, grad)``) within ``[lb, ub]``.
 
-    ``fun`` must be jax-traceable. All shapes are static; the whole solve
-    is a ``lax.scan`` so it can be vmapped across restarts.
+    ``fun`` must be jax-traceable and vmappable. All shapes are static;
+    the solve is a ``lax.while_loop`` so it can itself be vmapped across
+    restarts (inactive lanes simply idle until all finish).
     """
     d = x0.shape[0]
     x0 = _project(x0, lb, ub)
@@ -56,6 +68,7 @@ def minimize_lbfgs_b(fun, x0, lb, ub, max_iters=64, history=8,
     S0 = jnp.zeros((history, d), x0.dtype)
     Y0 = jnp.zeros((history, d), x0.dtype)
     rho0 = jnp.zeros((history,), x0.dtype)
+    steps = 0.5 ** jnp.arange(max_backtracks, dtype=x0.dtype)
 
     def direction(g, S, Y, rho):
         # Two-loop recursion; invalid pairs (rho == 0) are skipped.
@@ -65,7 +78,8 @@ def minimize_lbfgs_b(fun, x0, lb, ub, max_iters=64, history=8,
             a = r * jnp.dot(s, q)
             q = q - jnp.where(r > 0, a, 0.0) * y
             return q, a
-        q, alphas = jax.lax.scan(bwd, g, (S, Y, rho), reverse=True)
+        q, alphas = jax.lax.scan(bwd, g, (S, Y, rho), reverse=True,
+                                 unroll=True)
         # Initial Hessian scaling from the most recent valid pair.
         sy = jnp.sum(S[-1] * Y[-1])
         yy = jnp.sum(Y[-1] * Y[-1])
@@ -78,10 +92,15 @@ def minimize_lbfgs_b(fun, x0, lb, ub, max_iters=64, history=8,
             b = r * jnp.dot(y, r_c)
             r_c = r_c + jnp.where(r > 0, a - b, 0.0) * s
             return r_c, None
-        r_vec, _ = jax.lax.scan(fwd, r_vec, (S, Y, rho, alphas))
+        r_vec, _ = jax.lax.scan(fwd, r_vec, (S, Y, rho, alphas),
+                                unroll=True)
         return -r_vec
 
-    def body(state, _):
+    def cond(state):
+        x, f, g, S, Y, rho, done, it = state
+        return (~done) & (it < max_iters)
+
+    def body(state):
         x, f, g, S, Y, rho, done, it = state
 
         dvec = direction(g, S, Y, rho)
@@ -93,23 +112,23 @@ def minimize_lbfgs_b(fun, x0, lb, ub, max_iters=64, history=8,
         dvec = jnp.where(use_sd, sd, dvec)
         gd = jnp.where(use_sd, jnp.dot(g, sd), gd)
 
-        # Armijo backtracking on the projected path.
-        def ls_body(carry, j):
-            t_best, f_best, found = carry
-            t = (0.5 ** j).astype(x.dtype)
-            xt = _project(x + t * dvec, lb, ub)
-            ft, _ = fun(xt)
-            ft = ft.astype(f.dtype)
-            accept = (~found) & (ft <= f + 1e-4 * t * gd) & jnp.isfinite(ft)
-            t_best = jnp.where(accept, t, t_best)
-            f_best = jnp.where(accept, ft, f_best)
-            return (t_best, f_best, found | accept), None
-        (t_best, f_new, found), _ = jax.lax.scan(
-            ls_body, (jnp.asarray(0.0, x.dtype), f, jnp.asarray(False)),
-            jnp.arange(max_backtracks))
+        # Armijo backtracking: evaluate every candidate step in ONE
+        # batched call, then pick the largest step satisfying the
+        # sufficient-decrease condition (== scipy's first accepted step).
+        # Values only — the gradients of rejected candidates would cost a
+        # batched VJP; XLA dead-code-eliminates it when discarded, and the
+        # accepted step gets one dedicated gradient evaluation below.
+        xts = _project(x[None, :] + steps[:, None] * dvec[None, :], lb, ub)
+        fts, _ = jax.vmap(fun)(xts)
+        fts = fts.astype(f.dtype)
+        accept = (fts <= f + 1e-4 * steps * gd) & jnp.isfinite(fts)
+        j = jnp.argmax(accept)            # first True (steps descend)
+        found = jnp.any(accept)
+        t_best = jnp.where(found, steps[j], 0.0)
 
         x_new = _project(x + t_best * dvec, lb, ub)
-        f_new2, g_new = fun(x_new)
+        f_new, g_new = fun(x_new)
+        f_new = f_new.astype(f.dtype)
 
         s = x_new - x
         yv = g_new - g
@@ -122,15 +141,11 @@ def minimize_lbfgs_b(fun, x0, lb, ub, max_iters=64, history=8,
 
         # Convergence: projected gradient small or no line-search progress.
         pg = x_new - _project(x_new - g_new, lb, ub)
-        new_done = done | (~found) | (jnp.max(jnp.abs(pg)) < tol)
+        new_done = (~found) | (jnp.max(jnp.abs(pg)) < tol)
 
-        x, f, g = (jnp.where(done, x, x_new), jnp.where(done, f, f_new2),
-                   jnp.where(done, g, g_new))
-        it = it + jnp.where(done, 0, 1)
-        return (x, f, g, S, Y, rho, new_done, it), None
+        return (x_new, f_new, g_new, S, Y, rho, new_done, it + 1)
 
     init = (x0, f0, g0, S0, Y0, rho0, jnp.asarray(False),
             jnp.asarray(0, jnp.int32))
-    (x, f, g, S, Y, rho, done, it), _ = jax.lax.scan(
-        body, init, None, length=max_iters)
+    x, f, g, S, Y, rho, done, it = jax.lax.while_loop(cond, body, init)
     return LBFGSResult(x=x, f=f, n_iters=it)

@@ -130,15 +130,20 @@ class GP_Edge_Tracing:
         introspective = show_post_iter or return_lines or verbose
 
         if introspective:
-            while (int(state.n_fobs) < cfg.algo_thresh
-                   and int(state.it) < cfg.max_iters):
+            while True:
+                # One bulk D2H transfer per iteration (device->host round
+                # trips are expensive through the TPU tunnel).
+                h = jax.device_get(state)
+                if not (int(h.n_fobs) < cfg.algo_thresh
+                        and int(h.it) < cfg.max_iters):
+                    state = h
+                    break
                 st = time.time()
                 if verbose:
                     print("Fitting Gaussian process and computing next set "
                           "of observations...")
-                prev_obs = self._obs_list(state)
-                state, samples = jax.block_until_ready(
-                    trace_step(cfg, data, state))
+                prev_obs = self._obs_list(h)
+                state, samples = trace_step(cfg, data, state)
                 samples = np.asarray(samples)
                 all_samples.append(samples)
                 if show_post_iter:
@@ -146,23 +151,25 @@ class GP_Edge_Tracing:
                         import plot_iter
                     plot_iter(self.x_grid, samples, 20, prev_obs, self.init,
                               (self.M, self.N))
-                all_obs.append(self._obs_list(state))
-                i = int(state.it) - 1
+                h = jax.device_get(state)
+                all_obs.append(self._obs_list(h))
+                i = int(h.it) - 1
                 iter_curves.append(np.stack(
-                    [self.x_grid, np.asarray(state.iter_curves[i])], axis=1))
-                iter_costs.append(float(state.iter_costs[i]))
+                    [self.x_grid, h.iter_curves[i]], axis=1))
+                iter_costs.append(float(h.iter_costs[i]))
                 if verbose:
-                    print(f"Number of observations: {int(state.n_fobs)}")
-                    print(f"Iteration {int(state.it)} - Time Elapsed: "
+                    print(f"Number of observations: {int(h.n_fobs)}")
+                    print(f"Iteration {int(h.it)} - Time Elapsed: "
                           f"{round(time.time() - st, 4)}\n\n")
-            res = jax.block_until_ready(finish_trace(cfg, data, state))
+            res = jax.device_get(finish_trace(cfg, data, state))
         else:
-            res = jax.block_until_ready(run_trace(cfg, data, state))
+            # Single fused program; ONE bulk device->host transfer.
+            res = jax.device_get(run_trace(cfg, data, state))
             n = int(res.n_iters)
             iter_curves = [np.stack(
-                [self.x_grid, np.asarray(res.iter_curves[i])], axis=1)
+                [self.x_grid, res.iter_curves[i]], axis=1)
                 for i in range(n)]
-            iter_costs = [float(c) for c in np.asarray(res.iter_costs[:n])]
+            iter_costs = [float(c) for c in res.iter_costs[:n]]
 
         # Persist the adaptive threshold like the reference's mutable
         # attribute (gpet.py:595).

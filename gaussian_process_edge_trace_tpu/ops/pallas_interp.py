@@ -1,0 +1,102 @@
+"""Batched per-column linear interpolation as a Pallas TPU kernel.
+
+The curve-cost stage needs the gradient image sampled at every posterior
+curve point: E columns × S curves = hundreds of thousands of lookups per
+iteration. Curve x-coordinates are exactly the integer grid columns, so
+the 2-D bilinear lookup degenerates to a 1-D linear interpolation down
+each column — but XLA lowers the naive formulation to a giant row gather,
+which is the slowest primitive on TPU (it dominated the iteration profile
+at the demo shapes).
+
+This kernel reformulates each column's interpolation as a hat-function
+one-hot contraction executed entirely in VMEM:
+
+    out[e, s] = Σ_m  max(0, 1 − |clip(y[e,s]) − m|) · col[e, m]
+
+One grid program per column: build the (S, M) hat matrix with a
+broadcasted iota (VPU), contract against the column's M pixel values on
+the MXU, never touching HBM for the intermediate. Identical result to
+``bilinear_interp`` with integer column coordinates (hat weights at
+``floor(y)`` / ``floor(y)+1`` are exactly ``1−frac`` / ``frac``; the clip
+reproduces the spline's boundary clamp, gpet.py:122-125 semantics).
+
+On non-TPU backends (CPU tests) the plain gather formulation is used —
+gathers are cheap there and Pallas interpret mode is not.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+_BLK = 8  # columns per grid program (min sublane tile for f32)
+
+
+def _interp_kernel(col_ref, y_ref, out_ref):
+    # col_ref: (BLK, M) pixel columns; y_ref/out_ref: (BLK, S).
+    M = col_ref.shape[1]
+    S = y_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1).astype(jnp.float32)
+    for j in range(_BLK):  # static unroll; hat stays VMEM-resident
+        y = jnp.clip(y_ref[j, :], 0.0, M - 1.0)            # (S,)
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - rows))  # (S, M)
+        out_ref[j, :] = jax.lax.dot_general(
+            hat, col_ref[j, :][:, None],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)[:, 0]
+
+
+@jax.jit
+def _column_interp_pallas(cols, ys):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, M = cols.shape
+    _, S = ys.shape
+    E_pad = ((E + _BLK - 1) // _BLK) * _BLK
+    cols = jnp.pad(cols.astype(jnp.float32), ((0, E_pad - E), (0, 0)))
+    ys = jnp.pad(ys.astype(jnp.float32), ((0, E_pad - E), (0, 0)))
+    out = pl.pallas_call(
+        _interp_kernel,
+        grid=(E_pad // _BLK,),
+        in_specs=[
+            pl.BlockSpec((_BLK, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLK, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E_pad, S), jnp.float32),
+    )(cols, ys)
+    return out[:E]
+
+
+@jax.jit
+def _column_interp_gather(cols, ys):
+    E, M = cols.shape
+    y = jnp.clip(ys, 0, M - 1)
+    r0 = jnp.clip(jnp.floor(y), 0, M - 2).astype(jnp.int32)
+    fr = (y - r0).astype(cols.dtype)
+    v0 = jnp.take_along_axis(cols, r0, axis=1)
+    v1 = jnp.take_along_axis(cols, r0 + 1, axis=1)
+    return v0 + fr * (v1 - v0)
+
+
+def column_interp(cols, ys):
+    """Linear interpolation of ``cols[e, :]`` at rows ``ys[e, :]``.
+
+    Args:
+      cols: (E, M) per-column pixel values (i.e. ``grad_img.T`` rows).
+      ys: (E, S) real-valued row coordinates (clamped to [0, M-1]).
+
+    Returns:
+      (E, S) interpolated values, float32 on TPU / input dtype elsewhere.
+    """
+    if jax.default_backend() == "tpu":
+        return _column_interp_pallas(cols, ys).astype(ys.dtype)
+    return _column_interp_gather(cols, ys)

@@ -1,15 +1,20 @@
 """Posterior-curve cost function and top-k ranking.
 
 Replaces the reference's serial per-sample Python loop
-(reference: gpet.py:414-451 looping gpet.py:371-410) with a single vmapped
-computation over all N_samples curves: one batched bilinear gather on the
-VPU, closed-form Simpson quadratures, and ``lax.top_k``.
+(reference: gpet.py:414-451 looping gpet.py:371-410) with one batched
+computation over all N_samples curves: a Pallas per-column interpolation
+kernel for the gradient lookups (TPU row gathers are slow), closed-form
+Simpson quadratures over the whole batch, and ``lax.top_k`` with the
+selected curves extracted by an MXU one-hot contraction instead of a
+column gather.
 
 Cost semantics (gpet.py:392-408), for a curve (x_grid, y) with unit x
 spacing:
 
 - gradient score along the curve: bilinear lookup of the gradient image at
-  (y, x) plus the ``kde_thresh`` floor;
+  (y, x) plus the ``kde_thresh`` floor (x-coordinates are exactly the
+  integer grid columns, so the bilinear lookup is a per-column linear
+  interpolation);
 - curvilinear coordinate: cumulative Euclidean step length
   ``cumsum(sqrt(1 + dy^2))`` (dx = 1 on the tiled grid, gpet.py:397);
 - arc-length integrand: ``sqrt(1 + y'^2)`` with forward differencing
@@ -31,17 +36,7 @@ import jax.numpy as jnp
 
 from gaussian_process_edge_trace_tpu.ops.integrate import (
     simpson_nonuniform, simpson_weights)
-from gaussian_process_edge_trace_tpu.ops.interp import bilinear_interp
-
-
-def _single_curve_cost(grad_img, x_grid, y, arc_w, kde_thresh):
-    grad_score = bilinear_interp(grad_img, y, x_grid) + kde_thresh  # (E,)
-    dy = jnp.diff(y)
-    step = jnp.sqrt(1.0 + dy * dy)          # (E-1,) Euclidean step = integrand
-    curvilinear = jnp.cumsum(step)          # (E-1,)
-    line_integral = simpson_nonuniform(grad_score[:-1], curvilinear)
-    arc_length = step @ arc_w
-    return arc_length / line_integral
+from gaussian_process_edge_trace_tpu.ops.pallas_interp import column_interp
 
 
 @functools.partial(jax.jit, static_argnames=("kde_thresh",))
@@ -50,19 +45,33 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3):
 
     Args:
       grad_img: (M, N) normalised gradient image.
-      x_grid: (E,) integer grid columns (sorted).
+      x_grid: (E,) integer grid columns (sorted, contiguous).
       y_samples: (E, S) posterior curves.
 
     Returns:
       (S,) costs (lower = better).
     """
-    # Arc-length Simpson weights are static in x (uniform unit spacing over
-    # x_grid[:-1]) so the quadrature is one dot product per curve.
-    arc_w = simpson_weights(x_grid[:-1].astype(y_samples.dtype))
-    fn = functools.partial(_single_curve_cost, grad_img,
-                           x_grid.astype(y_samples.dtype),
-                           arc_w=arc_w, kde_thresh=kde_thresh)
-    return jax.vmap(fn, in_axes=1)(y_samples)
+    E, S = y_samples.shape
+    M, N = grad_img.shape
+    dtype = y_samples.dtype
+
+    # Gradient values along every curve: slice the E contiguous columns
+    # (no gather) and run the batched per-column interpolation kernel.
+    cols = jax.lax.dynamic_slice(
+        grad_img.T, (x_grid[0], jnp.zeros((), x_grid.dtype)), (E, M))
+    grad_score = column_interp(cols, y_samples).astype(dtype) + kde_thresh
+
+    dy = jnp.diff(y_samples, axis=0)                  # (E-1, S)
+    step = jnp.sqrt(1.0 + dy * dy)                    # Euclid = integrand
+    curvilinear = jnp.cumsum(step, axis=0)            # (E-1, S)
+
+    line_integral = simpson_nonuniform(grad_score[:-1].T, curvilinear.T)
+
+    # Arc-length Simpson weights are static in x (uniform unit spacing
+    # over x_grid[:-1]) so that quadrature is one matvec for the batch.
+    arc_w = simpson_weights(x_grid[:-1].astype(dtype))
+    arc_length = arc_w @ step                         # (S,)
+    return arc_length / line_integral
 
 
 @functools.partial(jax.jit, static_argnames=("n_keep",))
@@ -70,7 +79,14 @@ def best_curves(y_samples, costs, n_keep: int):
     """Top ``n_keep`` curves by ascending cost (gpet.py:443-449).
 
     Returns ``(best (E, n_keep), best_costs (n_keep,))``; index 0 is the
-    optimum.
+    optimum. Curve extraction is an (E, S) @ (S, n_keep) one-hot matmul —
+    MXU-friendly, unlike a column gather.
     """
     neg, idx = jax.lax.top_k(-costs, n_keep)
-    return y_samples[:, idx], -neg
+    S = y_samples.shape[1]
+    onehot = (idx[None, :] == jnp.arange(S)[:, None]).astype(y_samples.dtype)
+    # HIGHEST: default MXU bf16 passes would round the curve y-values by
+    # ~1 px, visibly degrading the KDE and pixel selection downstream.
+    best = jnp.matmul(y_samples, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+    return best, -neg

@@ -110,8 +110,14 @@ def select_pixels(kde_arr, grad_kde, obs_x, obs_y, obs_valid, n_pre,
     else:
         cand = dense_cand
     # Previous observations: keep if still intersected (gpet.py:571).
-    old_grid = jnp.zeros((M, N), dtype=bool)
-    old_grid = old_grid.at[obs_y, obs_x].max(obs_valid)
+    # Dense one-hot matmul instead of a scatter (TPU scatters serialise):
+    # old_grid = 1[∃k valid: obs_y[k]=m ∧ obs_x[k]=n].
+    oy = ((obs_y[None, :] == jnp.arange(M, dtype=jnp.int32)[:, None])
+          & obs_valid[None, :]).astype(dtype)             # (M, K)
+    ox = (obs_x[None, :]
+          == jnp.arange(N, dtype=jnp.int32)[:, None]).astype(dtype)  # (N, K)
+    old_grid = jnp.matmul(oy, ox.T,
+                          precision=jax.lax.Precision.HIGHEST) > 0.5
     elig = cand | (old_grid & dense_cand)
 
     # --- dense pixel score (gpet.py:582) ---------------------------------
@@ -122,40 +128,37 @@ def select_pixels(kde_arr, grad_kde, obs_x, obs_y, obs_valid, n_pre,
     bin_onehot = (bin_of_col[None, :]
                   == jnp.arange(spec.n_bins, dtype=jnp.int32)[:, None])
 
-    def occupied_bins(thresh):
-        passed = score >= thresh                             # (M, N)
-        col_any = jnp.any(passed, axis=0)                    # (N,)
-        bin_any = jnp.any(bin_onehot & col_any[None, :], axis=1)
-        return jnp.sum(bin_any, dtype=jnp.int32), bin_any
-
-    # --- adaptive threshold (gpet.py:589-609) ----------------------------
-    def cond(state):
-        thresh, n_pix, i = state
-        return ((n_pix - n_pre < pixel_thresh) & (n_pix < algo_thresh)
-                & (i < max_decays))
-
-    def body(state):
-        thresh, _, i = state
-        thresh = thresh * jnp.where(i == 0, 1.0, 0.95)       # gpet.py:594-595
-        n_pix, _ = occupied_bins(thresh)
-        return (thresh, n_pix, i + 1)
-
-    thresh0 = jnp.asarray(score_thresh, dtype)
-    n_pre = jnp.asarray(n_pre, jnp.int32)
-    thresh, n_pix, _ = jax.lax.while_loop(
-        cond, body, (thresh0, n_pre, jnp.asarray(0, jnp.int32)))
-
-    # --- per-bin non-max suppression (gpet.py:613-616) --------------------
-    passed = score >= thresh
-    col_score = jnp.where(passed, score, -jnp.inf)
-    col_best = jnp.max(col_score, axis=0)                    # (N,)
-    col_best_y = jnp.argmax(col_score, axis=0).astype(jnp.int32)
-
+    # --- per-bin max pixel (gpet.py:613-616) -------------------------------
+    # The pixel selected for an occupied bin is always that bin's maximum-
+    # score eligible pixel (the per-bin argmax over thresholded pixels is
+    # the bin max whenever the bin passes), so the argmax is threshold-
+    # independent and the adaptive search only decides *occupancy*.
+    col_best = jnp.max(score, axis=0)                        # (N,)
+    col_best_y = jnp.argmax(score, axis=0).astype(jnp.int32)
     per_bin = jnp.where(bin_onehot, col_best[None, :], -jnp.inf)  # (B, N)
     bin_best_col = jnp.argmax(per_bin, axis=1).astype(jnp.int32)
-    bin_best_score = jnp.max(per_bin, axis=1)
-    valid = jnp.isfinite(bin_best_score)
+    bin_best_score = jnp.max(per_bin, axis=1)                # (B,)
 
+    # --- adaptive threshold (gpet.py:589-609), vectorised ------------------
+    # The reference decays score_thresh by 0.95 per pass (no decay on the
+    # first pass, gpet.py:594-595) until enough bins are occupied. The
+    # occupancy count n(j) = #bins with bin_best >= thresh0·0.95^j is
+    # monotone in j, so the sequential loop reduces to "first j whose
+    # count satisfies the stop condition" — all candidate thresholds are
+    # evaluated at once instead of serial while-loop round trips.
+    # cumprod mirrors the reference's repeated multiplication bit-for-bit.
+    thresh0 = jnp.asarray(score_thresh, dtype)
+    n_pre = jnp.asarray(n_pre, jnp.int32)
+    decays = jnp.concatenate([jnp.ones((1,), dtype),
+                              jnp.full((max_decays - 1,), 0.95, dtype)])
+    threshs = thresh0 * jnp.cumprod(decays)                  # (J,)
+    n_at = jnp.sum(bin_best_score[None, :] >= threshs[:, None],
+                   axis=1, dtype=jnp.int32)                  # (J,)
+    stop = (n_at - n_pre >= pixel_thresh) | (n_at >= algo_thresh)
+    j = jnp.where(jnp.any(stop), jnp.argmax(stop), max_decays - 1)
+    thresh = threshs[j]
+
+    valid = bin_best_score >= thresh
     new_x = jnp.where(valid, bin_best_col, 0)
     new_y = jnp.where(valid, col_best_y[bin_best_col], 0)
     n_fobs = jnp.sum(valid, dtype=jnp.int32)

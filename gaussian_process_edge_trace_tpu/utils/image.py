@@ -119,7 +119,10 @@ def comp_grad_img(img, kernel, norm=True, astyp=jnp.float32):
     ``norm=False`` is silently ignored. We honour ``norm`` (SURVEY.md C17:
     fix the flag bug; the default path is identical).
     """
-    out = _conv_nearest(np.asarray(img), np.asarray(kernel), norm=bool(norm))
+    # No np.asarray here: a device->host conversion would force a TPU
+    # round-trip (and keep the input off-device); _conv_nearest accepts
+    # numpy and JAX arrays alike.
+    out = _conv_nearest(img, np.asarray(kernel), norm=bool(norm))
     if norm:
         out = out.astype(astyp if astyp not in (np.float64, float) else jnp.result_type(jnp.float64))
     return out
