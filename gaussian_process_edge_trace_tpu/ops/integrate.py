@@ -83,9 +83,40 @@ def simpson_weights(x):
 
     Useful when the sample locations are static (e.g. the uniform arc-length
     grid at gpet.py:405) so the quadrature becomes a single dot product.
+    Closed form: the per-pair coefficients of :func:`_pair_contributions`
+    scattered onto the point grid (plus the Cartwright tail for even n).
     """
     x = jnp.asarray(x)
     n = x.shape[-1]
-    eye = jnp.eye(n, dtype=x.dtype)
-    # Vectorised: integrate each basis vector. n is small & static.
-    return jnp.stack([simpson_nonuniform(eye[i], x) for i in range(n)])
+    if n < 2:
+        raise ValueError("simpson needs at least 2 samples")
+    if n == 2:
+        h = x[1] - x[0]
+        return jnp.stack([0.5 * h, 0.5 * h])
+    h = jnp.diff(x)
+    w = jnp.zeros(n, dtype=x.dtype)
+
+    def add_odd_block(w, m):
+        # Pairs over points [0, m); m odd.
+        h0 = h[0:m - 2:2]
+        h1 = h[1:m - 1:2]
+        hsum = h0 + h1
+        c0 = (hsum / 6.0) * (2.0 - h1 / h0)
+        c1 = (hsum / 6.0) * (hsum * hsum / (h0 * h1))
+        c2 = (hsum / 6.0) * (2.0 - h0 / h1)
+        w = w.at[0:m - 2:2].add(c0)
+        w = w.at[1:m - 1:2].add(c1)
+        w = w.at[2:m:2].add(c2)
+        return w
+
+    if n % 2 == 1:
+        return add_odd_block(w, n)
+    w = add_odd_block(w, n - 1)
+    h0, h1 = h[-2], h[-1]
+    alpha = (2 * h1 * h1 + 3 * h0 * h1) / (6 * (h0 + h1))
+    beta = (h1 * h1 + 3 * h0 * h1) / (6 * h0)
+    eta = h1 * h1 * h1 / (6 * h0 * (h0 + h1))
+    w = w.at[-1].add(alpha)
+    w = w.at[-2].add(beta)
+    w = w.at[-3].add(-eta)
+    return w
