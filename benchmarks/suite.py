@@ -1,0 +1,156 @@
+"""Benchmark suite: the five BASELINE.json configs on the local device.
+
+Run: ``python -m benchmarks.suite [--quick]``. Prints one JSON line per
+config (machine-parsable) plus a human-readable table to stderr.
+bench.py remains the single headline metric; this suite covers the rest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+_BASELINE_MS = None
+
+
+def _sync_median(fn, *args, n=5):
+    """Median device time of one dispatch, dispatch-baseline corrected."""
+    import jax
+    import jax.numpy as jnp
+    global _BASELINE_MS
+
+    def med(f, *a, k=n):
+        jax.block_until_ready(f(*a))
+        ts = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*a))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2] * 1e3
+
+    _ = float(jnp.sum(jnp.ones((8,))))   # force synchronous dispatch mode
+    if _BASELINE_MS is None:
+        _BASELINE_MS = med(jax.jit(lambda v: v + 1.0), jnp.ones((8,)), k=20)
+        log(f"dispatch baseline: {_BASELINE_MS:.1f} ms")
+    return max(med(fn, *args) - _BASELINE_MS, 0.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import gaussian_process_edge_trace_tpu as gpt
+    from gaussian_process_edge_trace_tpu.trace.driver import (
+        finish_trace, init_state, make_config, make_data, run_trace,
+        trace_step)
+    from gaussian_process_edge_trace_tpu.parallel import trace_sequence
+
+    log("devices:", jax.devices())
+    results = []
+
+    def emit(name, ms, **extra):
+        row = {"config": name, "value": round(ms, 2), "unit": "ms", **extra}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # ---- config 1: README demo trace (same as bench.py) ------------------
+    test_img, true_edge = gpt.construct_test_img(
+        (500, 500), 200, 4, 0.05, "sinusoidal", 0.3, gaps=True)
+    kb = gpt.kernel_builder((11, 5), unit=False)
+    grad = gpt.comp_grad_img(jnp.asarray(test_img), kb)
+    init = true_edge[[0, -1]][:, [1, 0]]
+    cfg = make_config(init, (500, 500),
+                      kernel_options={"kernel": "RBF", "sigma_f": 75,
+                                      "length_scale": 20},
+                      noise_y=1, N_samples=1000, score_thresh=1, delta_x=5,
+                      keep_ratio=0.1, pixel_thresh=5, seed=1,
+                      fix_endpoints=True)
+    data = make_data(cfg, grad, jnp.asarray(init))
+    ms = _sync_median(run_trace, cfg, data, init_state(cfg))
+    res = run_trace(cfg, data, init_state(cfg))
+    emit("1_demo_trace_500", ms,
+         mse=float(gpt.trace_MSE(np.asarray(res.edge_trace), true_edge)),
+         dice=float(gpt.trace_dicecoef(np.asarray(res.edge_trace),
+                                       true_edge)))
+
+    # ---- config 2: preprocessing sweep ------------------------------------
+    for ksz in [(5, 3), (11, 5), (15, 7)]:
+        k = gpt.kernel_builder(ksz, unit=False)  # host constant
+        f = (lambda kk: (lambda im: gpt.comp_grad_img(im, kk)))(k)
+        ms = _sync_median(f, jnp.asarray(test_img))
+        emit(f"2_grad_img_500_k{ksz[0]}x{ksz[1]}", ms)
+
+    # ---- config 3: hyperparameter-optimisation path -----------------------
+    state = init_state(cfg)
+    for _ in range(int(res.n_iters)):
+        state, _ = trace_step(cfg, data, state)
+    ms = _sync_median(finish_trace, cfg, data, state, n=3)
+    emit("3_lml_optimisation_13starts", ms,
+         lml=float(res.lml))
+
+    # ---- config 4: scaled posterior sampling at 1000x1000 ----------------
+    big_img, big_edge = gpt.construct_test_img(
+        (1000, 1000), 400, 4, 0.05, "sinusoidal", 0.3, gaps=True)
+    big_grad = gpt.comp_grad_img(jnp.asarray(big_img), kb)
+    big_init = big_edge[[0, -1]][:, [1, 0]]
+    for n_samples in ([1000] if args.quick else [1000, 10000]):
+        cfg4 = make_config(
+            big_init, (1000, 1000),
+            kernel_options={"kernel": "RBF", "sigma_f": 200,
+                            "length_scale": 50},
+            noise_y=1, N_samples=n_samples, score_thresh=1, delta_x=5,
+            keep_ratio=0.1, pixel_thresh=5, seed=1, fix_endpoints=True)
+        data4 = make_data(cfg4, big_grad, jnp.asarray(big_init))
+        ms = _sync_median(run_trace, cfg4, data4, init_state(cfg4), n=3)
+        r4 = run_trace(cfg4, data4, init_state(cfg4))
+        emit(f"4_trace_1000_S{n_samples}", ms,
+             mse=float(gpt.trace_MSE(np.asarray(r4.edge_trace), big_edge)),
+             iters=int(r4.n_iters))
+
+    # ---- config 5: warm-started frame sequence ----------------------------
+    rngf = np.random.RandomState(0)
+    frames, inits = [], []
+    n_frames = 3
+    base_img, base_edge = gpt.construct_test_img(
+        (500, 500), 200, 4, 0.03, "sinusoidal", 0.3, gaps=False)
+    for f_i in range(n_frames):
+        img = np.clip(base_img
+                      + rngf.normal(0, 0.02, base_img.shape), 0, 1)
+        frames.append(np.asarray(
+            gpt.comp_grad_img(jnp.asarray(img), kb)))
+        inits.append(base_edge[[0, -1]][:, [1, 0]])
+    cfg5 = make_config(inits[0], (500, 500),
+                       kernel_options={"kernel": "RBF", "sigma_f": 75,
+                                       "length_scale": 20},
+                       noise_y=1, N_samples=1000, score_thresh=1,
+                       delta_x=5, keep_ratio=0.1, pixel_thresh=5, seed=1,
+                       fix_endpoints=True)
+    trace_sequence(cfg5, frames, inits)       # compile warm+cold configs
+    t0 = time.perf_counter()
+    seq = trace_sequence(cfg5, frames, inits)
+    seq_ms = (time.perf_counter() - t0) * 1e3
+    emit("5_sequence_3frames_warmstart", seq_ms,
+         iters=[int(r.n_iters) for r in seq],
+         mse=[float(gpt.trace_MSE(np.asarray(r.edge_trace), base_edge))
+              for r in seq])
+
+    log("\nsummary:")
+    for r in results:
+        log(" ", r)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,17 @@ def k_unit(spec: KernelSpec, d):
     raise NotImplementedError(spec.kind)
 
 
+def k_unit_np(spec: KernelSpec, d):
+    """NumPy mirror of :func:`k_unit` for host-side precomputation."""
+    import numpy as np
+    if spec.kind == "RBF":
+        return np.exp(-0.5 * d * d)
+    s = (SQRT5 if spec.nu == 2.5 else SQRT3) * d
+    if spec.nu == 2.5:
+        return (1.0 + s + s * s / 3.0) * np.exp(-s)
+    return (1.0 + s) * np.exp(-s)
+
+
 def cross_gram(spec: KernelSpec, x1, x2, length_scale, variance=1.0):
     """K[i, j] = variance * k_unit(|x1[i] - x2[j]| / length_scale).
 

@@ -32,11 +32,12 @@ import jax
 import jax.numpy as jnp
 
 
-_BLK = 8  # columns per grid program (min sublane tile for f32)
+_BLK = 8        # columns per grid program (min sublane tile for f32)
+_S_BLK = 2048   # samples per grid program (bounds the VMEM hat matrix)
 
 
 def _interp_kernel(col_ref, y_ref, out_ref):
-    # col_ref: (BLK, M) pixel columns; y_ref/out_ref: (BLK, S).
+    # col_ref: (BLK, M) pixel columns; y_ref/out_ref: (BLK, S_blk).
     M = col_ref.shape[1]
     S = y_ref.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1).astype(jnp.float32)
@@ -58,22 +59,25 @@ def _column_interp_pallas(cols, ys):
     E, M = cols.shape
     _, S = ys.shape
     E_pad = ((E + _BLK - 1) // _BLK) * _BLK
+    s_blk = min(S, _S_BLK)
+    S_pad = ((S + s_blk - 1) // s_blk) * s_blk
     cols = jnp.pad(cols.astype(jnp.float32), ((0, E_pad - E), (0, 0)))
-    ys = jnp.pad(ys.astype(jnp.float32), ((0, E_pad - E), (0, 0)))
+    ys = jnp.pad(ys.astype(jnp.float32),
+                 ((0, E_pad - E), (0, S_pad - S)))
     out = pl.pallas_call(
         _interp_kernel,
-        grid=(E_pad // _BLK,),
+        grid=(E_pad // _BLK, S_pad // s_blk),
         in_specs=[
-            pl.BlockSpec((_BLK, M), lambda i: (i, 0),
+            pl.BlockSpec((_BLK, M), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLK, S), lambda i: (i, 0),
+            pl.BlockSpec((_BLK, s_blk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BLK, S), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_BLK, s_blk), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((E_pad, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E_pad, S_pad), jnp.float32),
     )(cols, ys)
-    return out[:E]
+    return out[:E, :S]
 
 
 @jax.jit

@@ -169,17 +169,35 @@ def trace_sequence(cfg: TracerConfig, grad_imgs, inits):
     """
     from gaussian_process_edge_trace_tpu.trace.driver import run_trace
 
+    # Warm-started frames share ONE fixed-capacity config (user-obs slots
+    # padded to the bin count + mask) so every frame after the first hits
+    # the same compiled executable.
+    u_cap = _round_up(cfg.bins.n_bins, 8)
+    cfg_warm = cfg._replace(
+        n_user_obs=u_cap,
+        n_train=_round_up(cfg.n_inits + u_cap + cfg.bins.n_bins, 8))
+    cfg_cold = cfg._replace(
+        n_user_obs=0,
+        n_train=_round_up(cfg.n_inits + cfg.bins.n_bins, 8))
+
     results = []
     user_obs = None
     for f in range(len(grad_imgs)):
-        n_user = 0 if user_obs is None else user_obs.shape[0]
-        cfg_f = cfg._replace(
-            n_user_obs=n_user,
-            n_train=_round_up(cfg.n_inits + n_user + cfg.bins.n_bins, 8))
+        if user_obs is None:
+            cfg_f = cfg_cold
+            state_kw = {}
+        else:
+            cfg_f = cfg_warm
+            n_user = min(user_obs.shape[0], u_cap)
+            padded = np.zeros((u_cap, 2), np.int64)
+            padded[:n_user] = user_obs[:n_user]
+            valid = np.zeros((u_cap,), bool)
+            valid[:n_user] = True
+            state_kw = {"user_obs_xy": padded, "user_obs_valid": valid}
         data_f = make_data(cfg_f, jnp.asarray(grad_imgs[f]),
                            jnp.asarray(inits[f]))
-        state_f = init_state(cfg_f, user_obs_xy=user_obs)
-        res = run_trace(cfg_f, data_f, state_f)
+        state_f = init_state(cfg_f, **state_kw)
+        res = jax.device_get(run_trace(cfg_f, data_f, state_f))
         results.append(res)
         valid = np.asarray(res.obs_valid)
         user_obs = np.stack([np.asarray(res.obs_x)[valid],

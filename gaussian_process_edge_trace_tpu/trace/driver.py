@@ -55,7 +55,7 @@ import numpy as np
 
 from gaussian_process_edge_trace_tpu.models.gpr import (
     fit_and_sample, gp_fit, gp_predict, log_marginal_likelihood,
-    masked_mean, masked_std, prior_grid_cholesky)
+    masked_mean, masked_std)
 from gaussian_process_edge_trace_tpu.models.kernels import (
     KernelSpec, resolve_kernel_options)
 from gaussian_process_edge_trace_tpu.models.lbfgs import minimize_lbfgs_b
@@ -142,9 +142,9 @@ class TraceResult(NamedTuple):
     iter_costs: jnp.ndarray        # (max_iters,)
     iter_nobs: jnp.ndarray         # (max_iters,) int32
     iter_thresh: jnp.ndarray       # (max_iters,)
-    obs_x: jnp.ndarray             # (B,) final accepted observations
-    obs_y: jnp.ndarray
-    obs_valid: jnp.ndarray
+    obs_x: jnp.ndarray             # (U+B,) the final accepted observation
+    obs_y: jnp.ndarray             #        set (user warm-start ∪ binned),
+    obs_valid: jnp.ndarray         #        i.e. what the final fit used
 
 
 def _round_up(v: int, m: int) -> int:
@@ -210,15 +210,26 @@ def frame_arrays(cfg: TracerConfig, grad_img, init_xy):
     return g, gkde, init_xy[:, 0], init_xy[:, 1]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.lru_cache(maxsize=16)
 def prior_factor(cfg: TracerConfig):
     """Config-only precompute (one per config, shared by all frames): the
-    unit prior factor over all image columns and the output x-grid."""
-    cols = jnp.arange(cfg.N, dtype=jnp.float32)
-    L_unit = prior_grid_cholesky(cfg.kernel, cols, cfg.sigma_l,
-                                 jitter=cfg.gp_jitter)
+    unit prior factor over all image columns and the output x-grid.
+
+    Computed on the host in float64 — the symmetric eigendecomposition of
+    an (N, N) Gram takes tens of seconds through the TPU's slow eigh path
+    at N=1000 but well under a second in LAPACK, it runs exactly once per
+    config, and f64 gives a cleaner square root of the numerically
+    rank-deficient prior (same robustness rationale as sklearn_gpr.py:464
+    sampling via SVD). Cached per config."""
+    from gaussian_process_edge_trace_tpu.models.kernels import k_unit_np
+    cols = np.arange(cfg.N, dtype=np.float64)
+    d = np.abs(cols[:, None] - cols[None, :]) / cfg.sigma_l
+    K = k_unit_np(cfg.kernel, d)
+    K[np.diag_indices_from(K)] += cfg.gp_jitter
+    w, V = np.linalg.eigh(K)
+    F = V * np.sqrt(np.clip(w, 0.0, None))[None, :]
     x_grid = cfg.x_st + jnp.arange(cfg.edge_length, dtype=jnp.int32)
-    return L_unit, x_grid
+    return jnp.asarray(F, jnp.float32), x_grid
 
 
 def make_data(cfg: TracerConfig, grad_img, init_xy) -> TracerData:
@@ -229,9 +240,12 @@ def make_data(cfg: TracerConfig, grad_img, init_xy) -> TracerData:
                       x_grid=x_grid, init_x=ix, init_y=iy)
 
 
-def init_state(cfg: TracerConfig, user_obs_xy=None) -> TraceState:
+def init_state(cfg: TracerConfig, user_obs_xy=None,
+               user_obs_valid=None) -> TraceState:
     """Initial loop state; ``user_obs_xy`` is the warm-start (U, 2) xy
-    observation array (gpet.py:57-61,820)."""
+    observation array (gpet.py:57-61,820). ``user_obs_valid`` optionally
+    masks padded warm-start slots (so frame sequences can share one
+    fixed-capacity config and avoid per-frame recompilation)."""
     B = cfg.bins.n_bins
     U = cfg.n_user_obs
     if user_obs_xy is None:
@@ -244,9 +258,13 @@ def init_state(cfg: TracerConfig, user_obs_xy=None) -> TraceState:
         obs_x=jnp.zeros((B,), jnp.int32), obs_y=jnp.zeros((B,), jnp.int32),
         obs_valid=jnp.zeros((B,), bool),
         user_x=user_obs_xy[:, 0], user_y=user_obs_xy[:, 1],
-        user_valid=jnp.ones((U,), bool),
+        user_valid=(jnp.ones((U,), bool) if user_obs_valid is None
+                    else jnp.asarray(user_obs_valid, bool)),
         score_thresh=jnp.asarray(cfg.score_thresh0, jnp.float32),
-        n_fobs=jnp.asarray(U, jnp.int32), it=jnp.asarray(0, jnp.int32),
+        n_fobs=(jnp.asarray(U, jnp.int32) if user_obs_valid is None
+                else jnp.sum(jnp.asarray(user_obs_valid, bool),
+                             dtype=jnp.int32)),
+        it=jnp.asarray(0, jnp.int32),
         iter_curves=jnp.zeros((mi, E), jnp.float32),
         iter_costs=jnp.zeros((mi,), jnp.float32),
         iter_nobs=jnp.zeros((mi,), jnp.int32),
@@ -446,8 +464,10 @@ def finish_trace(cfg: TracerConfig, data: TracerData,
         converged=state.n_fobs >= cfg.algo_thresh, theta=theta, lml=lml,
         final_cost=final_cost, iter_curves=state.iter_curves,
         iter_costs=state.iter_costs, iter_nobs=state.iter_nobs,
-        iter_thresh=state.iter_thresh, obs_x=state.obs_x,
-        obs_y=state.obs_y, obs_valid=state.obs_valid)
+        iter_thresh=state.iter_thresh,
+        obs_x=jnp.concatenate([state.user_x, state.obs_x]),
+        obs_y=jnp.concatenate([state.user_y, state.obs_y]),
+        obs_valid=jnp.concatenate([state.user_valid, state.obs_valid]))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

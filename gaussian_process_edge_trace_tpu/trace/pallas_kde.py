@@ -84,11 +84,45 @@ def column_binning(y_curves, weights, M: int, use_pallas: bool = False):
     → 10⁵) where the dense (M, E, S) contraction stops fitting."""
     if use_pallas and jax.default_backend() == "tpu":
         return _binning_pallas(y_curves, weights, M).astype(y_curves.dtype)
+    return _binning_dense_chunked(y_curves, weights, M)
+
+
+# Target size for one hat-contraction block: (M+2)·E·chunk elements. 32M
+# f32 (~128 MB of fused traffic) matches the demo shapes where the dense
+# contraction measured fastest; larger sample counts (BASELINE config 4,
+# N_samples → 10⁵) are scanned in chunks of this size instead of
+# materialising a multi-GB tensor.
+_CHUNK_ELEMS = 32 * 1024 * 1024
+
+
+def _binning_dense_chunked(y_curves, weights, M: int):
     E, S = y_curves.shape
-    yp = y_curves + 1.0
-    w = jnp.broadcast_to(weights[None, :], (E, S))
-    w = jnp.where((y_curves >= 0) & (y_curves <= M - 1), w, 0.0)
-    rows = jnp.arange(M + 2, dtype=y_curves.dtype)
-    hat = jnp.maximum(0.0, 1.0 - jnp.abs(yp[None, :, :]
-                                         - rows[:, None, None]))
-    return jnp.sum(hat * w[None, :, :], axis=-1)
+    dtype = y_curves.dtype
+    rows = jnp.arange(M + 2, dtype=dtype)
+
+    def block(yb, wb):
+        yp = yb + 1.0
+        w = jnp.broadcast_to(wb[None, :], yb.shape)
+        w = jnp.where((yb >= 0) & (yb <= M - 1), w, 0.0)
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(yp[None, :, :]
+                                             - rows[:, None, None]))
+        return jnp.sum(hat * w[None, :, :], axis=-1)      # (M+2, E)
+
+    chunk = max(1, _CHUNK_ELEMS // ((M + 2) * E))
+    if S <= chunk:
+        return block(y_curves, weights)
+    n_chunks = -(-S // chunk)
+    pad = n_chunks * chunk - S
+    # Padded samples carry zero weight, contributing nothing.
+    yb = jnp.pad(y_curves, ((0, 0), (0, pad)))
+    wb = jnp.pad(weights, (0, pad))
+    yb = yb.reshape(E, n_chunks, chunk)
+    wb = wb.reshape(n_chunks, chunk)
+
+    def body(carry, inp):
+        yc, wc = inp
+        return carry + block(yc, wc), None
+
+    H0 = jnp.zeros((M + 2, E), dtype)
+    H, _ = jax.lax.scan(body, H0, (jnp.moveaxis(yb, 1, 0), wb))
+    return H

@@ -76,16 +76,17 @@ def normalise(img, minmax_val=(0, 1), astyp=jnp.float32):
     return img.astype(astyp)
 
 
-@functools.partial(jax.jit, static_argnames=("norm",))
+@functools.partial(jax.jit, static_argnames=("kernel", "norm"))
 def _conv_nearest(img, kernel, norm=True):
     """Correlate ``img`` with ``kernel`` using edge-replicate padding.
 
     Equivalent to ``scipy.ndimage.convolve(img, kernel, mode='nearest')``:
     scipy *convolves* (flips the kernel) while XLA correlates, so we flip
-    the kernel here.
+    the kernel here. ``kernel`` is a static (hashable) nested tuple of
+    taps — derivative filters are small host-built constants.
     """
     img = jnp.asarray(img, dtype=jnp.float32)
-    kernel = jnp.asarray(kernel, dtype=jnp.float32)
+    kernel = np.asarray(kernel, dtype=np.float64)
     kh, kw = kernel.shape
     # scipy.ndimage.convolve centers the *flipped* kernel with origin at
     # floor(k/2) measured after the flip; for odd sizes this is symmetric.
@@ -95,14 +96,19 @@ def _conv_nearest(img, kernel, norm=True):
     ph_lo, ph_hi = kh // 2, (kh - 1) // 2
     pw_lo, pw_hi = kw // 2, (kw - 1) // 2
     padded = jnp.pad(img, ((ph_lo, ph_hi), (pw_lo, pw_hi)), mode="edge")
-    out = jax.lax.conv_general_dilated(
-        padded[None, None, :, :],
-        flip[None, None, :, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )[0, 0]
+    # Shifted multiply-accumulate: single-channel spatial convolutions
+    # lower poorly on the TPU (no channel dimension to feed the MXU), while
+    # kh·kw shifted elementwise FMAs are pure VPU work. Taps are static
+    # Python floats, so zero taps vanish at trace time.
+    H, W = img.shape
+    taps = flip
+    out = jnp.zeros_like(img)
+    for dy in range(kh):
+        for dx in range(kw):
+            t = float(taps[dy, dx])
+            if t == 0.0:
+                continue
+            out = out + t * jax.lax.dynamic_slice(padded, (dy, dx), (H, W))
     out = jnp.maximum(out, 0.0)
     if norm:
         out = normalise(out, (0, 1), jnp.float32)
@@ -119,10 +125,12 @@ def comp_grad_img(img, kernel, norm=True, astyp=jnp.float32):
     ``norm=False`` is silently ignored. We honour ``norm`` (SURVEY.md C17:
     fix the flag bug; the default path is identical).
     """
-    # No np.asarray here: a device->host conversion would force a TPU
-    # round-trip (and keep the input off-device); _conv_nearest accepts
-    # numpy and JAX arrays alike.
-    out = _conv_nearest(img, np.asarray(kernel), norm=bool(norm))
+    # No np.asarray on the image: a device->host conversion would force a
+    # TPU round-trip (and keep the input off-device). The kernel is a
+    # small host constant, passed statically as a nested tuple.
+    k = np.asarray(kernel, dtype=np.float64)
+    k_static = tuple(tuple(float(v) for v in row) for row in k)
+    out = _conv_nearest(img, k_static, norm=bool(norm))
     if norm:
         out = out.astype(astyp if astyp not in (np.float64, float) else jnp.result_type(jnp.float64))
     return out
