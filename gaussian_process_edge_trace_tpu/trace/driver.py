@@ -444,10 +444,14 @@ def _final_fit(cfg: TracerConfig, data: TracerData, key, state: TraceState):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def finish_trace(cfg: TracerConfig, data: TracerData,
-                 state: TraceState) -> TraceResult:
+                 state: TraceState, key=None) -> TraceResult:
     """Post-loop finalisation: converged LML fit, credible interval, yx
-    trace, final-cost telemetry (gpet.py:874-890)."""
-    key = jax.random.PRNGKey(cfg.seed)
+    trace, final-cost telemetry (gpet.py:874-890).
+
+    ``key`` (optional runtime PRNG key) defaults to ``PRNGKey(cfg.seed)``;
+    passing it explicitly reruns with another seed without recompiling."""
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
     key_final = jax.random.fold_in(key, 0)   # seed+N_iter analogue
     y_mean, y_std, y_s, theta, lml = _final_fit(cfg, data, key_final, state)
 
@@ -472,9 +476,13 @@ def finish_trace(cfg: TracerConfig, data: TracerData,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def run_trace(cfg: TracerConfig, data: TracerData,
-              state0: TraceState) -> TraceResult:
-    """The full trace as one XLA program (gpet.py:768-908)."""
-    key = jax.random.PRNGKey(cfg.seed)
+              state0: TraceState, key=None) -> TraceResult:
+    """The full trace as one XLA program (gpet.py:768-908).
+
+    ``key`` (optional runtime PRNG key) defaults to ``PRNGKey(cfg.seed)``;
+    passing it explicitly reruns with another seed without recompiling."""
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
 
     def cond(s: TraceState):
         return (s.n_fobs < cfg.algo_thresh) & (s.it < cfg.max_iters)
@@ -484,23 +492,26 @@ def run_trace(cfg: TracerConfig, data: TracerData,
         return new_state
 
     state = jax.lax.while_loop(cond, body, state0)
-    return finish_trace(cfg, data, state)
+    return finish_trace(cfg, data, state, key)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def trace_step(cfg: TracerConfig, data: TracerData,
-               state: TraceState):
+               state: TraceState, key=None):
     """One jitted outer iteration, for the introspective driver path
     (per-iteration plotting / return_lines, gpet.py:843-844,905-908)."""
-    key = jax.random.PRNGKey(cfg.seed)
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
     return _iteration(cfg, data, key, state)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def preview_samples(cfg: TracerConfig, data: TracerData,
-                    state: TraceState):
+                    state: TraceState, key=None):
     """Samples from the initial posterior with seed 0 (gpet.py:806:
     ``fit_predict_GP(self.obs, converged=False, seed=0)``)."""
     x, y, mask, noise_w = _train_set(cfg, data, state)
-    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), -1)
-    return _sample_round(cfg, data, x, y, mask, noise_w, key)
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    return _sample_round(cfg, data, x, y, mask, noise_w,
+                         jax.random.fold_in(key, -1))

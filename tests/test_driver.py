@@ -131,3 +131,21 @@ def test_matern_kernel_trace():
     mse = float(trace_MSE(jnp.asarray(np.asarray(res.edge_trace)),
                           jnp.asarray(edge[: grad.shape[1]])))
     assert mse < 6.0, mse
+
+
+def test_runtime_key_overrides_seed():
+    import jax
+    grad, edge, init, delta_x = _demo_setup()
+    cfg, res_default = _run(grad, init, delta_x, seed=1)
+    from gaussian_process_edge_trace_tpu.trace.driver import (
+        init_state as mk_state, make_data as mk_data, run_trace as rt)
+    data = mk_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    s0 = mk_state(cfg)
+    # Explicit key == PRNGKey(cfg.seed) must reproduce the default path.
+    res_k = rt(cfg, data, s0, jax.random.PRNGKey(cfg.seed))
+    np.testing.assert_array_equal(np.asarray(res_default.edge_trace),
+                                  np.asarray(res_k.edge_trace))
+    # A different key draws different samples (same compiled program).
+    res_other = rt(cfg, data, s0, jax.random.PRNGKey(12345))
+    assert not np.array_equal(np.asarray(res_other.y_mean),
+                              np.asarray(res_k.y_mean))
