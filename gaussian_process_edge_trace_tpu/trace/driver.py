@@ -513,5 +513,7 @@ def preview_samples(cfg: TracerConfig, data: TracerData,
     x, y, mask, noise_w = _train_set(cfg, data, state)
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
+    # Distinct stream from every loop iteration (which use it+1 >= 1) and
+    # from the final fit (0).
     return _sample_round(cfg, data, x, y, mask, noise_w,
-                         jax.random.fold_in(key, -1))
+                         jax.random.fold_in(key, 2**31 - 1))

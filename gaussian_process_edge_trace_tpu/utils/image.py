@@ -153,6 +153,21 @@ def denoise(image, technique, kwargs, plot=False, verbose=False):
     if importable on the host, else raise.
     """
     image = jnp.asarray(image, dtype=jnp.float32)
+    out = _denoise_dispatch(image, technique, kwargs)
+    if verbose and out is not None:   # quality report, gpet_utils.py:151-156
+        from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+            normalized_root_mse, peak_signal_noise_ratio, shannon_entropy,
+            structural_similarity)
+        psnr = round(float(peak_signal_noise_ratio(image, out)), 2)
+        ss = round(float(structural_similarity(image, out)), 2)
+        nmse = round(float(normalized_root_mse(image, out)), 5)
+        ent = round(float(shannon_entropy(out)), 3)
+        print(f"Peak-SNR: {psnr}.\nStructural Similarity: {ss}.\n"
+              f"Mean Square Error: {nmse}.\nShannon Entropy: {ent}.\n")
+    return out
+
+
+def _denoise_dispatch(image, technique, kwargs):
     if technique == "gaussian":
         sigma = float(kwargs.get("sigma", 1.0))
         radius = int(kwargs.get("radius", int(4.0 * sigma + 0.5)))
@@ -182,16 +197,24 @@ def denoise(image, technique, kwargs, plot=False, verbose=False):
                     jax.lax.dynamic_slice(padded, (dy, dx), image.shape))
         stack = jnp.stack(patches, axis=-1)
         return jnp.median(stack, axis=-1)
-    elif technique in ("nl", "tvc", "wavelet", "tvb"):
+    elif technique == "tvc":
+        from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+            denoise_tv_chambolle)
+        return denoise_tv_chambolle(image, **kwargs)
+    elif technique == "nl":
+        from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+            denoise_nl_means)
+        return denoise_nl_means(image, **kwargs)
+    elif technique in ("wavelet", "tvb"):
         try:  # pragma: no cover - optional host dependency
             from skimage import restoration as rest
         except ImportError as exc:  # pragma: no cover
             raise NotImplementedError(
                 f"denoise technique '{technique}' requires scikit-image, "
-                "which is not installed; use 'gaussian'/'median'/'minimum'."
-            ) from exc
-        fn = {"nl": rest.denoise_nl_means, "tvc": rest.denoise_tv_chambolle,
-              "wavelet": rest.denoise_wavelet, "tvb": rest.denoise_tv_bregman}[technique]
+                "which is not installed; use 'gaussian'/'median'/"
+                "'minimum'/'tvc'/'nl'.") from exc
+        fn = {"wavelet": rest.denoise_wavelet,
+              "tvb": rest.denoise_tv_bregman}[technique]
         return jnp.asarray(fn(np.asarray(image), **kwargs))
     else:
         print("Denoising technique not implemented.")

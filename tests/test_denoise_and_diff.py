@@ -1,0 +1,85 @@
+"""Native denoisers, quality metrics, finite differencing."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gaussian_process_edge_trace_tpu.ops.diff import finite_diff
+from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+    denoise_nl_means, denoise_tv_chambolle, normalized_root_mse,
+    peak_signal_noise_ratio, shannon_entropy, structural_similarity)
+from gaussian_process_edge_trace_tpu.utils.image import denoise
+
+
+def _noisy_pair(seed=0, shape=(48, 48), sigma=0.1):
+    rng = np.random.RandomState(seed)
+    clean = np.zeros(shape)
+    clean[:, shape[1] // 2:] = 1.0
+    clean[shape[0] // 3:, :] *= 0.7
+    noisy = clean + rng.normal(0, sigma, shape)
+    return clean, noisy
+
+
+def _tv(img):
+    img = np.asarray(img)
+    return (np.abs(np.diff(img, axis=0)).sum()
+            + np.abs(np.diff(img, axis=1)).sum())
+
+
+def test_finite_diff_matches_reference_loop():
+    rng = np.random.RandomState(1)
+    y = rng.normal(size=17)
+    for typ in (0, 1, 2):
+        lower, upper = [(0, 16), (1, 17), (1, 16)][typ]
+        b, a = [(1, 0), (0, -1), (-1, 1)][typ]
+        want = np.array([y[i + b] - y[i + a] for i in range(lower, upper)])
+        got = np.asarray(finite_diff(jnp.asarray(y), typ=typ))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_tv_chambolle_denoises():
+    clean, noisy = _noisy_pair()
+    out = np.asarray(denoise_tv_chambolle(noisy, weight=0.15))
+    assert _tv(out) < 0.5 * _tv(noisy)
+    # Closer to the clean image than the noisy input is.
+    assert np.mean((out - clean) ** 2) < 0.5 * np.mean((noisy - clean) ** 2)
+
+
+def test_nl_means_denoises():
+    clean, noisy = _noisy_pair(sigma=0.08)
+    out = np.asarray(denoise_nl_means(noisy, patch_size=5,
+                                      patch_distance=5, h=0.12))
+    assert np.mean((out - clean) ** 2) < 0.6 * np.mean((noisy - clean) ** 2)
+
+
+def test_denoise_dispatch_paths(capsys):
+    clean, noisy = _noisy_pair()
+    for tech, kw in [("gaussian", {"sigma": 1.0}), ("median", {"size": 3}),
+                     ("minimum", {"size": 3}),
+                     ("tvc", {"weight": 0.1}),
+                     ("nl", {"patch_size": 5, "patch_distance": 3,
+                             "h": 0.1})]:
+        out = denoise(noisy, tech, kw, verbose=True)
+        assert out.shape == noisy.shape
+    report = capsys.readouterr().out
+    assert "Peak-SNR" in report and "Shannon Entropy" in report
+    assert denoise(noisy, "nope", {}) is None
+
+
+def test_quality_metrics_formulas():
+    rng = np.random.RandomState(2)
+    a = rng.uniform(0, 1, (32, 32))
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+    mse = np.mean((a - b) ** 2)
+    dr = a.max() - a.min()
+    np.testing.assert_allclose(float(peak_signal_noise_ratio(a, b)),
+                               10 * np.log10(dr ** 2 / mse), rtol=1e-10)
+    np.testing.assert_allclose(float(normalized_root_mse(a, b)),
+                               np.sqrt(mse) / dr, rtol=1e-10)
+    s = float(structural_similarity(a, b))
+    assert 0.0 < s < 1.0
+    assert float(structural_similarity(a, a)) == pytest.approx(1.0)
+    e = float(shannon_entropy(np.zeros((8, 8))))
+    assert e == pytest.approx(0.0, abs=1e-9)
+    e2 = float(shannon_entropy(rng.uniform(0, 1, (64, 64))))
+    assert e2 > 5.0
