@@ -149,3 +149,63 @@ def test_runtime_key_overrides_seed():
     res_other = rt(cfg, data, s0, jax.random.PRNGKey(12345))
     assert not np.array_equal(np.asarray(res_other.y_mean),
                               np.asarray(res_k.y_mean))
+
+
+def test_free_endpoints_trace():
+    # fix_endpoints=False: endpoint columns are eligible for new pixels and
+    # the endpoint noise weight is 0.5 (gpet.py:161-162,655-657).
+    grad, edge, init, delta_x = _demo_setup()
+    cfg = make_config(
+        init, grad.shape,
+        kernel_options={"kernel": "RBF", "sigma_f": 30, "length_scale": 10},
+        noise_y=1, N_samples=200, score_thresh=0.5, delta_x=delta_x,
+        keep_ratio=0.1, pixel_thresh=5, seed=1, fix_endpoints=False)
+    assert cfg.init_noise_weight == 0.5
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    res = run_trace(cfg, data, init_state(cfg))
+    assert bool(res.converged)
+    mse = float(trace_MSE(jnp.asarray(np.asarray(res.edge_trace)),
+                          jnp.asarray(edge[: grad.shape[1]])))
+    assert mse < 15.0, mse
+
+
+def test_tuple_kernel_options_trace():
+    # The (k, s, l) heuristic (gpet.py:140-151) end to end.
+    grad, edge, init, delta_x = _demo_setup()
+    cfg = make_config(init, grad.shape, kernel_options=(0, 4, 4),
+                      noise_y=1, N_samples=200, score_thresh=0.5,
+                      delta_x=delta_x, keep_ratio=0.1, pixel_thresh=5,
+                      seed=1, fix_endpoints=True)
+    assert cfg.kernel.kind == "RBF"
+    assert cfg.sigma_f == 128 // 4   # M // [10,8,6,4,2,1][s-1]
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    res = run_trace(cfg, data, init_state(cfg))
+    assert bool(res.converged)
+
+
+def test_multi_sinusoidal_parity_with_reference():
+    # Two parallel edges (gpet_utils.py:203-210), endpoints on the fainter
+    # first edge. Both the reference algorithm and this framework lock
+    # onto the STRONGER second edge (its intensity step is 0.4 vs 0.3, so
+    # it dominates the gradient KDE scores) — a behavioural-parity check,
+    # verified against benchmarks/reference_cpu.py (err_first 8.5,
+    # err_second 1.7 under this exact config).
+    img, edge = construct_test_img(
+        size=(128, 128), amplitude=40, curvature=2, noise_level=0.01,
+        ltype="multi-sinusoidal", intensity=0.3, gaps=False)
+    grad = np.asarray(comp_grad_img(img, kernel_builder((9, 5))))
+    N = 128
+    first = edge[:N]
+    second = edge[N:]
+    init = np.array([[0, first[0, 0]], [N - 1, first[N - 1, 0]]])
+    cfg = make_config(
+        init, grad.shape,
+        kernel_options={"kernel": "RBF", "sigma_f": 30, "length_scale": 10},
+        noise_y=1, N_samples=200, score_thresh=0.5, delta_x=6,
+        keep_ratio=0.1, pixel_thresh=5, seed=1, fix_endpoints=True)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    res = run_trace(cfg, data, init_state(cfg))
+    assert bool(res.converged)
+    pred = np.asarray(res.edge_trace)
+    err_second = np.abs(pred[:, 0] - second[:, 0]).mean()
+    assert err_second < 3.0, err_second
