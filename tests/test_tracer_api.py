@@ -97,3 +97,13 @@ def test_warm_start_obs_argument():
                           jnp.asarray(edge[: grad.shape[1]])))
     # 96x96 config: same long-tailed seed spread as test_return_std_tuple.
     assert mse < 20.0, mse
+
+
+def test_reference_module_aliases():
+    # The reference package layout: `from gp_edge_tracing import gpet,
+    # gpet_utils` and the vendored `sklearn_gpr` module.
+    from gaussian_process_edge_trace_tpu import gpet, gpet_utils, sklearn_gpr
+    assert gpet.GP_Edge_Tracing is GP_Edge_Tracing
+    assert hasattr(gpet_utils, "kernel_builder")
+    assert hasattr(sklearn_gpr, "GaussianProcessRegressor")
+    assert hasattr(sklearn_gpr, "WeightedWhiteKernel")
