@@ -419,12 +419,13 @@ def _final_fit(cfg: TracerConfig, data: TracerData, key, state: TraceState):
     n_polish = min(4, starts.shape[0])
     _, top = jax.lax.top_k(-jnp.where(jnp.isfinite(f0s), f0s, jnp.inf),
                            n_polish)
-    # 16 iterations at 1e-5 projected-gradient tolerance: the 3-dim LML
-    # is locally quadratic near its optimum (good lanes converge in <16;
-    # the reference itself removed optimiser convergence checks,
+    # 8 iterations at 1e-5 projected-gradient tolerance: from screened
+    # starts the 3-dim LML optimum is reached within a handful of steps
+    # (validated: 6/8/16 iterations give identical optima on the demo
+    # config; the reference itself removed optimiser convergence checks,
     # sklearn_gpr.py:596-599).
     solve = functools.partial(minimize_lbfgs_b, obj, lb=lb, ub=ub,
-                              max_iters=16, tol=1e-5)
+                              max_iters=8, tol=1e-5)
     results = jax.vmap(solve)(starts[top])
     ibest = jnp.argmin(jnp.where(jnp.isfinite(results.f), results.f,
                                  jnp.inf))
