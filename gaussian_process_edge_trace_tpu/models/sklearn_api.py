@@ -252,6 +252,11 @@ class GaussianProcessRegressor:
 
     def predict(self, X, return_std=False, return_cov=False):
         X = np.asarray(X, dtype=np.float64).reshape(-1)
+        if not hasattr(self, "_kernel_"):
+            # Unfitted: prior predictions/samples (sklearn_gpr.py:363-378).
+            if self.kernel is None:
+                self.kernel = ConstantKernel(1.0, "fixed") * RBF(1.0)
+            self._kernel_ = _normalise_kernel(self.kernel)
         spec, c, ls, _ = self._params()
         if not hasattr(self, "_state"):
             # Prior predictions (sklearn_gpr.py:363-378): zero mean,
@@ -278,6 +283,15 @@ class GaussianProcessRegressor:
         z = jax.random.normal(jax.random.PRNGKey(int(random_state)),
                               (cov.shape[0], int(n_samples)), mean.dtype)
         return mean[:, None] + F @ z
+
+    def score(self, X, y):
+        """Coefficient of determination R² (sklearn RegressorMixin.score,
+        inherited by the reference regressor)."""
+        y = np.asarray(y, dtype=np.float64).reshape(-1)
+        pred = np.asarray(self.predict(X))
+        u = np.sum((y - pred) ** 2)
+        v = np.sum((y - y.mean()) ** 2)
+        return 1.0 - u / v
 
     def log_marginal_likelihood(self, theta=None, eval_gradient=False):
         spec, c, ls, nz = self._params()

@@ -129,12 +129,22 @@ def test_sample_y_statistics():
     np.testing.assert_allclose(s.std(axis=1), np.asarray(std), atol=0.13)
 
 
-def test_prior_predict_before_fit():
+def test_prior_predict_and_sample_before_fit():
     k = ConstantKernel(4.0, "fixed") * RBF(1.5, "fixed")
     gp = GaussianProcessRegressor(kernel=k, optimizer=None)
-    gp._kernel_ = __import__(
-        "gaussian_process_edge_trace_tpu.models.sklearn_api",
-        fromlist=["_normalise_kernel"])._normalise_kernel(k)
     m, s = gp.predict(np.arange(5.0), return_std=True)
     np.testing.assert_allclose(np.asarray(m), 0.0)
     np.testing.assert_allclose(np.asarray(s), 2.0)
+    draws = np.asarray(gp.sample_y(np.arange(5.0), n_samples=2000,
+                                   random_state=0))
+    assert draws.shape == (5, 2000)
+    np.testing.assert_allclose(draws.std(axis=1), 2.0, atol=0.15)
+
+
+def test_score_r2():
+    X, y = _data(n=25, seed=9)
+    k = (ConstantKernel(4.0, "fixed") * RBF(1.5, "fixed")
+         + WeightedWhiteKernel(noise_weight=1.0, noise_level=0.01))
+    gp = GaussianProcessRegressor(kernel=k, alpha=1e-8,
+                                  optimizer=None).fit(X, y)
+    assert gp.score(X, y) > 0.98
