@@ -216,3 +216,44 @@ def test_multi_sinusoidal_parity_with_reference():
     pred = np.asarray(res.edge_trace)
     err_second = np.abs(pred[:, 0] - second[:, 0]).mean()
     assert err_second < 3.0, err_second
+
+
+def test_degenerate_short_edge():
+    # Edge span shorter than delta_x: N_subints = 0 so algo_thresh <= 0,
+    # the loop body never runs, and the final fit sees only the two inits
+    # (the reference would behave the same at gpet.py:829).
+    rng = np.random.RandomState(0)
+    grad = rng.uniform(0, 1, (32, 32))
+    init = np.array([[10, 16], [13, 17]])
+    cfg = make_config(init, grad.shape,
+                      kernel_options={"kernel": "RBF", "sigma_f": 8,
+                                      "length_scale": 3},
+                      noise_y=1, N_samples=120, score_thresh=0.5,
+                      delta_x=20, keep_ratio=0.25, pixel_thresh=2, seed=0,
+                      fix_endpoints=True)
+    assert cfg.N_subints == 0
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    res = run_trace(cfg, data, init_state(cfg))
+    assert int(res.n_iters) == 0
+    assert res.edge_trace.shape == (4, 2)  # edge_length = 13-10+1
+    assert np.all(np.isfinite(np.asarray(res.y_mean)))
+
+
+def test_unconverged_hits_max_iters():
+    # A gradient image with no edge anywhere near the inits: the tracer
+    # must stop at max_iters with converged=False instead of looping
+    # forever (the reference's latent infinite loop, gpet.py:829).
+    rng = np.random.RandomState(1)
+    grad = np.zeros((64, 64))
+    grad[2, :] = 1.0                       # the only structure, far away
+    init = np.array([[0, 60], [63, 60]])
+    cfg = make_config(init, grad.shape,
+                      kernel_options={"kernel": "RBF", "sigma_f": 4,
+                                      "length_scale": 20},
+                      noise_y=1, N_samples=120, score_thresh=1.0,
+                      delta_x=4, keep_ratio=0.25, pixel_thresh=5, seed=0,
+                      fix_endpoints=True, max_iters=4)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    res = run_trace(cfg, data, init_state(cfg))
+    assert int(res.n_iters) <= 4
+    assert np.all(np.isfinite(np.asarray(res.y_mean)))

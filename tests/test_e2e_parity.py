@@ -1,0 +1,63 @@
+"""End-to-end parity vs the CPU reference implementation.
+
+``benchmarks/reference_cpu.py`` is the reference algorithm re-derived in
+NumPy/SciPy (SURVEY.md §4: the demo-config parity test). Stochastic paths
+differ (RandomState vs jax.random), so parity is metric-level: both
+implementations must converge and reach comparable trace quality on the
+same config.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from benchmarks.reference_cpu import ReferenceTracerCPU
+from gaussian_process_edge_trace_tpu.trace.driver import (
+    init_state, make_config, make_data, run_trace)
+from gaussian_process_edge_trace_tpu.utils.image import (
+    comp_grad_img, kernel_builder)
+from gaussian_process_edge_trace_tpu.utils.metrics import (
+    trace_MSE, trace_dicecoef)
+from gaussian_process_edge_trace_tpu.utils.synthetic import construct_test_img
+
+
+@pytest.fixture(scope="module")
+def parity_setup():
+    img, edge = construct_test_img(
+        size=(128, 128), amplitude=40, curvature=2, noise_level=0.03,
+        ltype="sinusoidal", intensity=0.3, gaps=False)
+    grad = np.asarray(comp_grad_img(img, kernel_builder((9, 5))),
+                      dtype=np.float64)
+    init = np.array([[0, edge[0, 0]], [127, edge[127, 0]]])
+    return grad, edge[:128], init
+
+
+KW = dict(noise_y=1, N_samples=300, score_thresh=0.5, delta_x=6,
+          keep_ratio=0.1, pixel_thresh=5, seed=1, fix_endpoints=True)
+KOPT = {"kernel": "RBF", "sigma_f": 30, "length_scale": 10}
+
+
+def test_e2e_parity_with_cpu_reference(parity_setup):
+    grad, true_edge, init = parity_setup
+
+    ref = ReferenceTracerCPU(init, grad, KOPT, **KW)
+    ref_edge, ref_cred, ref_iters = ref()
+    ref_mse = float(trace_MSE(jnp.asarray(ref_edge), jnp.asarray(true_edge)))
+    ref_dice = float(trace_dicecoef(jnp.asarray(ref_edge),
+                                    jnp.asarray(true_edge)))
+
+    cfg = make_config(init, grad.shape, kernel_options=KOPT, **KW)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    res = run_trace(cfg, data, init_state(cfg))
+    tpu_mse = float(trace_MSE(jnp.asarray(np.asarray(res.edge_trace)),
+                              jnp.asarray(true_edge)))
+    tpu_dice = float(trace_dicecoef(jnp.asarray(np.asarray(res.edge_trace)),
+                                    jnp.asarray(true_edge)))
+
+    assert bool(res.converged)
+    assert ref_iters < 48          # the CPU reference also converged
+    # Metric parity: both trace the same edge to comparable quality.
+    assert ref_dice > 0.95 and tpu_dice > 0.95, (ref_dice, tpu_dice)
+    assert tpu_mse < max(4.0 * ref_mse, 25.0), (ref_mse, tpu_mse)
+    # Iteration counts in the same regime (both ~O(10)).
+    assert abs(int(res.n_iters) - ref_iters) <= 6
