@@ -1,0 +1,26 @@
+"""CLI smoke test (``python -m gaussian_process_edge_trace_tpu``)."""
+
+import json
+
+import numpy as np
+
+from gaussian_process_edge_trace_tpu.__main__ import main
+from gaussian_process_edge_trace_tpu.utils.synthetic import construct_test_img
+
+
+def test_cli_trace(tmp_path, capsys):
+    img, edge = construct_test_img((72, 72), 22, 2, 0.01, "sinusoidal",
+                                   0.3, gaps=False)
+    p = tmp_path / "img.npy"
+    np.save(p, img)
+    out = tmp_path / "res.npz"
+    main(["trace", str(p),
+          "--init", f"0,{edge[0, 0]}", f"71,{edge[71, 0]}",
+          "--sigma-f", "18", "--length-scale", "6",
+          "--n-samples", "120", "--delta-x", "5", "--seed", "3",
+          "--out", str(out)])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["converged"]
+    z = np.load(out)
+    assert z["edge_trace"].shape == (72, 2)
+    assert np.all(z["cred_upper"] >= z["cred_lower"])
