@@ -163,17 +163,23 @@ class ReferenceTracerCPU:
         ys = y / y_s
         y_mean = ys.mean()           # normalize_y: mean removal only
         yc = ys - y_mean
+        # Fork quirk: predict multiplies the centred posterior by
+        # std(y_scaled) that fit never divided out (sklearn_gpr.py:227 vs
+        # :385,401); zero std maps to 1 (_handle_zeros_in_scale, :223).
+        s2 = np.std(ys)
+        s2 = 1.0 if s2 == 0.0 else s2
         K = c * _kernel_mat(self.kind, self.nu, x, x, self.sigma_l)
         K[np.diag_indices_from(K)] += self.noise_y * w + 1e-6
         L = scipy.linalg.cholesky(K, lower=True)
         alpha = scipy.linalg.cho_solve((L, True), yc)
         Ks = c * _kernel_mat(self.kind, self.nu,
                              self.x_grid.astype(float), x, self.sigma_l)
-        mean = Ks @ alpha + y_mean
+        mean = s2 * (Ks @ alpha) + y_mean
         V = scipy.linalg.solve_triangular(L, Ks.T, lower=True)
-        cov = (c * _kernel_mat(self.kind, self.nu, self.x_grid.astype(float),
-                               self.x_grid.astype(float), self.sigma_l)
-               - V.T @ V)
+        cov = s2 * s2 * (
+            c * _kernel_mat(self.kind, self.nu, self.x_grid.astype(float),
+                            self.x_grid.astype(float), self.sigma_l)
+            - V.T @ V)
         rng = np.random.RandomState(seed)
         samples = rng.multivariate_normal(mean, cov, self.N_samples).T
         return samples * y_s        # (E, S)

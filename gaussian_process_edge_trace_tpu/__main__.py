@@ -86,8 +86,7 @@ def cmd_trace(args):
 
 
 def cmd_demo(args):
-    from examples import demo  # noqa: F401  (examples not a package)
-    raise SystemExit("use: python examples/demo.py")
+    raise SystemExit("use: python examples/demo.py (from the repo root)")
 
 
 def main(argv=None):

@@ -61,8 +61,10 @@ def safe_cholesky(K, jitter_scales=(0.0, 1e-5, 1e-3)):
     # single factorisation (TPU cost is depth-bound, width is ~free).
     Ls = jnp.linalg.cholesky(K[None] + jit_arr[:, None, None] * eye[None])
     ok = jnp.all(jnp.isfinite(jnp.diagonal(Ls, axis1=-2, axis2=-1)), axis=-1)
-    # First finite candidate (ascending jitter).
-    idx = jnp.argmax(ok)
+    # First finite candidate (ascending jitter); if even the largest
+    # jitter fails, return that attempt (NaNs propagate visibly) rather
+    # than argmax-of-all-False silently picking the unjittered factor.
+    idx = jnp.where(jnp.any(ok), jnp.argmax(ok), len(jitter_scales) - 1)
     return Ls[idx]
 
 
@@ -149,7 +151,7 @@ def prior_grid_cholesky(spec: KernelSpec, grid, length_scale, jitter=1e-6):
 
 def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
                    diag_noise, mask, L_prior_unit, x_idx, grid_out,
-                   n_samples, centre=True):
+                   n_samples, centre=True, post_scale=1.0):
     """Fit the GP and draw ``n_samples`` posterior curves over the grid.
 
     Replaces ``gp.fit`` + ``gp.sample_y`` (gpet.py:255-260 →
@@ -176,6 +178,13 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
       grid_out: (E,) integer positions of the output grid within the
         extended grid.
       n_samples: static sample count.
+      post_scale: multiplier on the centred posterior (deviation +
+        fluctuations) before the mean is re-added. The reference fork's
+        ``predict`` unconditionally "undoes" a y-standardisation that
+        ``normalize_y=True`` never applied (sklearn_gpr.py:227 removes the
+        mean only, but :385,401 still multiply by ``_y_train_std``), so
+        the tracer's sampling rounds effectively scale the centred
+        posterior by ``std(y_scaled)`` — parity requires reproducing it.
 
     Returns:
       (E, n_samples) posterior curves (mean included).
@@ -217,7 +226,7 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
     # The output grid is contiguous within the extended grid (both are
     # integer pixel columns), so f0 restriction is a dynamic slice.
     f0_grid = jax.lax.dynamic_slice_in_dim(f0, grid_out[0], E, axis=0)
-    samples = y_mean + f0_grid + Kq @ A                    # (E, S)
+    samples = y_mean + post_scale * (f0_grid + Kq @ A)     # (E, S)
     return samples
 
 

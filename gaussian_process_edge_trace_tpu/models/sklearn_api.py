@@ -183,31 +183,58 @@ class GaussianProcessRegressor:
 
     # -- API ------------------------------------------------------------------
 
+    def _y_transform(self, y):
+        """The fork's target transform (sklearn_gpr.py:220-240): centre
+        ONLY under normalize_y=True, centre AND scale under
+        normalize_y=False — and ``predict`` always rescales by
+        ``_y_train_std`` regardless (sklearn_gpr.py:385,401), which under
+        normalize_y=True multiplies the centred posterior by a std that
+        was never divided out. Faithfully reproduced, zero-std mapped to
+        1 (_handle_zeros_in_scale)."""
+        m = float(np.mean(y))
+        s = float(np.std(y))
+        s = 1.0 if s == 0.0 else s
+        y_proc = (y - m) if self.normalize_y else (y - m) / s
+        return y_proc, m, s
+
     def fit(self, X, y):
         if self.kernel is None:
-            self.kernel = ConstantKernel(1.0, "fixed") * RBF(1.0)
-        self._kernel_ = _normalise_kernel(self.kernel)
+            # Fork default: both hyperparameters fixed (sklearn_gpr.py:
+            # 198-201), so the default configuration skips optimisation.
+            self.kernel = ConstantKernel(1.0, "fixed") * RBF(
+                1.0, length_scale_bounds="fixed")
+        # Optimise a deep copy — the fork clones (sklearn_gpr.py:203) and
+        # never mutates the user's kernel objects.
+        import copy
+        self._kernel_ = _normalise_kernel(copy.deepcopy(self.kernel))
         X = np.asarray(X, dtype=np.float64).reshape(-1)
         y = np.asarray(y, dtype=np.float64).reshape(-1)
         n = X.shape[0]
         self.X_train_ = X
         self.y_train_ = y
         mask = jnp.ones((n,), bool)
+        y_proc, self._y_train_mean, self._y_train_std = self._y_transform(y)
 
-        if self.optimizer is not None:
-            self._optimize_theta(X, y, mask)
+        k = self._kernel_
+        any_free = any(
+            _as_bounds(b, None) is not None
+            for b in (k.signal.k1.constant_value_bounds,
+                      k.signal.k2.length_scale_bounds,
+                      k.noise.noise_level_bounds))
+        if self.optimizer is not None and any_free:
+            self._optimize_theta(X, y_proc, mask)
 
         spec, c, ls, _ = self._params()
-        self._y_train_mean = y.mean() if self.normalize_y else 0.0
-        self._state = gp_fit(spec, jnp.asarray(X), jnp.asarray(y),
+        self._state = gp_fit(spec, jnp.asarray(X), jnp.asarray(y_proc),
                              ls, c, self._diag_noise(n), mask,
-                             centre=self.normalize_y)
+                             centre=False)
         self.kernel_ = self._kernel_
         return self
 
-    def _optimize_theta(self, X, y, mask):
+    def _optimize_theta(self, X, y_proc, mask):
         """Maximise the LML over the free hyperparameters (sklearn order:
-        θ = [log c, log ℓ, log σn²], fixed dimensions pinned)."""
+        θ = [log c, log ℓ, log σn²], fixed dimensions pinned).
+        ``y_proc`` is the fork-transformed target."""
         k = self._kernel_
         b_c = _as_bounds(k.signal.k1.constant_value_bounds, (1e-5, 1e5))
         b_l = _as_bounds(k.signal.k2.length_scale_bounds, (1e-5, 1e5))
@@ -221,9 +248,8 @@ class GaussianProcessRegressor:
                        for b, t in zip((b_c, b_l, b_n), theta0)])
 
         spec = k.signal.k2.spec
-        ym = y.mean() if self.normalize_y else 0.0
-        yc = jnp.asarray(y - ym)
-        noise_w = self._noise_weight(len(y))
+        yc = jnp.asarray(y_proc)
+        noise_w = self._noise_weight(len(y_proc))
         xj = jnp.asarray(X)
         alpha = self.alpha
 
@@ -270,7 +296,16 @@ class GaussianProcessRegressor:
             return mean
         out = gp_predict(spec, self._state, jnp.asarray(X), ls, c,
                          return_std=return_std, return_cov=return_cov)
-        return out
+        # Undo the fork's normalisation (sklearn_gpr.py:385,401,428):
+        # mean rescaled by _y_train_std and recentred; cov/std by std².
+        m, sd = self._y_train_mean, self._y_train_std
+        if return_cov:
+            mean, cov = out
+            return sd * mean + m, sd * sd * cov
+        if return_std:
+            mean, std = out
+            return sd * mean + m, sd * std
+        return sd * out + m
 
     def sample_y(self, X, n_samples=1, random_state=0):
         """Posterior draws at ``X``: mean + eigh-factor of the predictive
@@ -291,6 +326,10 @@ class GaussianProcessRegressor:
         pred = np.asarray(self.predict(X))
         u = np.sum((y - pred) ** 2)
         v = np.sum((y - y.mean()) ** 2)
+        if v == 0.0:
+            # Constant targets: R² ill-defined; sklearn returns 1 for a
+            # perfect constant prediction, else 0.
+            return 1.0 if u == 0.0 else 0.0
         return 1.0 - u / v
 
     def log_marginal_likelihood(self, theta=None, eval_gradient=False):
@@ -300,8 +339,8 @@ class GaussianProcessRegressor:
         else:
             theta = jnp.asarray(theta)
         n = self.X_train_.shape[0]
-        ym = self.y_train_.mean() if self.normalize_y else 0.0
-        yc = jnp.asarray(self.y_train_ - ym)
+        y_proc, _, _ = self._y_transform(self.y_train_)
+        yc = jnp.asarray(y_proc)
         mask = jnp.ones((n,), bool)
         fn = functools.partial(
             log_marginal_likelihood, spec, jnp.asarray(self.X_train_), yc,

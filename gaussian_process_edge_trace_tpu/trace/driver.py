@@ -295,15 +295,23 @@ def _sample_round(cfg: TracerConfig, data: TracerData, x, y, mask, noise_w,
     std+1, set variance to σf²/y_s², fit + draw N_samples Matheron curves,
     rescale."""
     yf = y.astype(jnp.float32)
-    y_s = masked_std(yf, mask) + 1.0
+    std_raw = masked_std(yf, mask)
+    y_s = std_raw + 1.0
     variance = (cfg.sigma_f ** 2) / (y_s ** 2)
     diag_noise = cfg.noise_y * noise_w + cfg.gp_jitter
+    # Reference-fork quirk (sklearn_gpr.py:227 vs :385,401): predict
+    # multiplies the centred posterior by std(y_scaled) that fit never
+    # divided out, so the effective pixel-space posterior deviation is
+    # scaled by std_raw/(std_raw+1). _handle_zeros_in_scale maps a zero
+    # std to 1 (sklearn_gpr.py:223).
+    s2 = std_raw / y_s
+    post_scale = jnp.where(s2 == 0.0, 1.0, s2)
     samples = fit_and_sample(
         key, cfg.kernel, x.astype(jnp.float32), yf / y_s, cfg.sigma_l,
         variance, diag_noise, mask, data.L_prior_unit, x_idx=x,
         grid_out=data.x_grid,
         n_samples=cfg.N_samples if n_samples is None else n_samples,
-        centre=True)
+        centre=True, post_scale=post_scale)
     return samples * y_s  # (E, S)
 
 

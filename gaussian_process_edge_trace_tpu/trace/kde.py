@@ -85,7 +85,8 @@ def _minmax(grid):
 
 
 def curve_kde_raw(y_curves, weights, M: int, N: int, x_start: int,
-                  radius: int = DEFAULT_RADIUS, bw: float = 1.0):
+                  radius: int = DEFAULT_RADIUS, bw: float = 1.0,
+                  use_pallas_binning: bool = False):
     """Un-normalised curve KDE (binning + blur + crop, no min-max).
 
     The building block for sample-axis sharding: the blurred grid is
@@ -101,7 +102,8 @@ def curve_kde_raw(y_curves, weights, M: int, N: int, x_start: int,
     # contraction elsewhere. H[m, e] = Σ_s w[e,s]·max(0, 1-|y[e,s]+1-m|).
     from gaussian_process_edge_trace_tpu.trace.pallas_kde import (
         column_binning)
-    H = column_binning(y_curves, weights, M)  # (M+2, E)
+    H = column_binning(y_curves, weights, M,
+                       use_pallas=use_pallas_binning)  # (M+2, E)
 
     # Place the E columns at padded-grid columns x_start+1 .. x_start+E.
     grid = jnp.zeros((M + 2, N + 2), dtype=dtype)

@@ -167,17 +167,24 @@ def denoise(image, technique, kwargs, plot=False, verbose=False):
     return out
 
 
+# scipy.ndimage boundary modes -> jnp.pad modes (scipy default 'reflect'
+# mirrors without repeating the edge sample == numpy 'symmetric').
+_PAD_MODES = {"reflect": "symmetric", "nearest": "edge", "mirror": "reflect",
+              "wrap": "wrap", "constant": "constant"}
+
+
 def _denoise_dispatch(image, technique, kwargs):
+    pad_mode = _PAD_MODES[kwargs.get("mode", "reflect")]
     if technique == "gaussian":
         sigma = float(kwargs.get("sigma", 1.0))
         radius = int(kwargs.get("radius", int(4.0 * sigma + 0.5)))
         k = jnp.asarray(_gaussian_filter_1d((sigma, radius)), dtype=jnp.float32)
         pad = ((radius, radius), (0, 0))
-        out = jnp.pad(image, pad, mode="edge")
+        out = jnp.pad(image, pad, mode=pad_mode)
         out = jax.lax.conv_general_dilated(
             out[None, None], k[None, None, :, None], (1, 1), "VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-        out = jnp.pad(out, ((0, 0), (radius, radius)), mode="edge")
+        out = jnp.pad(out, ((0, 0), (radius, radius)), mode=pad_mode)
         out = jax.lax.conv_general_dilated(
             out[None, None], k[None, None, None, :], (1, 1), "VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
@@ -185,7 +192,7 @@ def _denoise_dispatch(image, technique, kwargs):
     elif technique in ("median", "minimum"):
         size = int(kwargs.get("size", 3))
         pad = size // 2
-        padded = jnp.pad(image, pad, mode="edge")
+        padded = jnp.pad(image, pad, mode=pad_mode)
         if technique == "minimum":
             return -jax.lax.reduce_window(
                 -padded, -jnp.inf, jax.lax.max, (size, size), (1, 1), "VALID")
@@ -200,6 +207,7 @@ def _denoise_dispatch(image, technique, kwargs):
     elif technique == "tvc":
         from gaussian_process_edge_trace_tpu.utils.denoise_native import (
             denoise_tv_chambolle)
+        kwargs = {k: v for k, v in kwargs.items() if k != "mode"}
         return denoise_tv_chambolle(image, **kwargs)
     elif technique == "nl":
         from gaussian_process_edge_trace_tpu.utils.denoise_native import (

@@ -46,8 +46,18 @@ def trace_dicecoef(edge_pred, edge_true, jaccard=False):
     edge_true = jnp.asarray(edge_true)
     N = edge_pred.shape[0]
     rows = jnp.arange(N)[:, None]
-    pred_bin = (rows >= edge_pred[:, 0].astype(jnp.int32)[None, :]).astype(jnp.float32)
-    true_bin = (rows >= edge_true[:, 0].astype(jnp.int32)[None, :]).astype(jnp.float32)
+
+    def binarise(y):
+        # The reference fills pred_bin[int(y):, col] = 1
+        # (gpet_utils.py:302-305); Python slicing wraps negative starts
+        # (y in [-N, 0) fills the last |y| rows, y <= -N fills the whole
+        # column) — reproduced for metric parity on escaped traces.
+        y = y.astype(jnp.int32)
+        start = jnp.where(y < 0, jnp.maximum(N + y, 0), y)
+        return (rows >= start[None, :]).astype(jnp.float32)
+
+    pred_bin = binarise(edge_pred[:, 0])
+    true_bin = binarise(edge_true[:, 0])
     inter = jnp.sum(pred_bin * true_bin)
     union = jnp.sum(jnp.clip(pred_bin + true_bin, 0, 1))
     jacc = inter / union

@@ -34,10 +34,14 @@ def test_predict_matches_sklearn(kind):
         nu = float(kind[-3:])
         ours_k = ConstantKernel(4.0, "fixed") * Matern(1.5, nu=nu)
         sk_k = skk.ConstantKernel(4.0, "fixed") * skk.Matern(1.5, nu=nu)
+    # The fork's normalize_y=False standardises y and undoes it in
+    # predict (sklearn_gpr.py:229-240,385-428) == stock sklearn's
+    # normalize_y=True.
     ours = GaussianProcessRegressor(kernel=ours_k, alpha=1e-4,
                                     optimizer=None).fit(X, y)
     ref = skgp.GaussianProcessRegressor(kernel=sk_k, alpha=1e-4,
-                                        optimizer=None).fit(X, y)
+                                        optimizer=None,
+                                        normalize_y=True).fit(X, y)
     Xq = np.linspace(-1, 11, 37).reshape(-1, 1)
     m1, s1 = ours.predict(Xq.ravel(), return_std=True)
     m2, s2 = ref.predict(Xq, return_std=True)
@@ -54,7 +58,8 @@ def test_lml_and_gradient_match_sklearn():
     sk_k = (skk.ConstantKernel(2.0) * skk.RBF(1.2)
             + skk.WhiteKernel(0.3))
     ref = skgp.GaussianProcessRegressor(kernel=sk_k, alpha=1e-10,
-                                        optimizer=None).fit(X, y)
+                                        optimizer=None,
+                                        normalize_y=True).fit(X, y)
     theta = np.log([2.0, 1.2, 0.3])
     v1, g1 = ours.log_marginal_likelihood(theta, eval_gradient=True)
     v2, g2 = ref.log_marginal_likelihood(theta, eval_gradient=True)
@@ -74,7 +79,8 @@ def test_optimized_fit_reaches_sklearn_lml():
             + skk.WhiteKernel(0.1, (1e-6, 1.0)))
     ref = skgp.GaussianProcessRegressor(kernel=sk_k, alpha=1e-10,
                                         n_restarts_optimizer=8,
-                                        random_state=0).fit(X, y)
+                                        random_state=0,
+                                        normalize_y=True).fit(X, y)
     ref_lml = ref.log_marginal_likelihood(ref.kernel_.theta)
     # Different optimisers/restart draws: demand we reach at least the
     # sklearn optimum minus a small slack.
@@ -82,9 +88,9 @@ def test_optimized_fit_reaches_sklearn_lml():
 
 
 def test_normalize_y_mean_removal_only():
-    # The fork removes the mean but does not scale (sklearn_gpr.py:225-240):
-    # predictions for y and y+c must differ by exactly c, and scaling y by
-    # s must scale predictions by exactly s (no internal re-scaling).
+    # The fork's normalize_y=True removes the mean without scaling at fit
+    # (sklearn_gpr.py:225-227) — yet predict still multiplies by the
+    # stored std (:385): shift-equivariance must hold exactly either way.
     X, y = _data()
     k = lambda: ConstantKernel(4.0, "fixed") * RBF(1.5, "fixed")
     Xq = np.linspace(0, 10, 11)
@@ -109,7 +115,9 @@ def test_weighted_noise_matches_manual_gram():
     K[np.diag_indices_from(K)] += 0.7 * w + 1e-6
     Xq = np.linspace(0, 10, 7)
     Ks = 4.0 * np.exp(-0.5 * (Xq[:, None] - x[None, :]) ** 2 / 1.5 ** 2)
-    want = Ks @ np.linalg.solve(K, y)
+    # Fork normalize_y=False semantics: fit on (y-m)/s, predict rescales.
+    m, sd = y.mean(), y.std()
+    want = sd * (Ks @ np.linalg.solve(K, (y - m) / sd)) + m
     np.testing.assert_allclose(np.asarray(gp.predict(Xq)), want, rtol=1e-7)
 
 

@@ -85,19 +85,26 @@ def test_comp_grad_img_norm_flag_fixed():
 def test_denoise_gaussian_matches_scipy():
     rng = np.random.RandomState(3)
     img = rng.rand(32, 32).astype(np.float32)
+    # scipy default boundary mode is 'reflect'; 'nearest' via kwarg
+    # forwarding (gpet_utils.py:144 passes kwargs straight to scipy).
     out = np.asarray(denoise(img, "gaussian", {"sigma": 1.5}))
-    expected = scipy.ndimage.gaussian_filter(img, sigma=1.5, mode="nearest")
+    expected = scipy.ndimage.gaussian_filter(img, sigma=1.5)
     np.testing.assert_allclose(out, expected, atol=1e-4)
+    out_n = np.asarray(denoise(img, "gaussian",
+                               {"sigma": 1.5, "mode": "nearest"}))
+    expected_n = scipy.ndimage.gaussian_filter(img, sigma=1.5,
+                                               mode="nearest")
+    np.testing.assert_allclose(out_n, expected_n, atol=1e-4)
 
 
 def test_denoise_median_minimum():
     rng = np.random.RandomState(4)
     img = rng.rand(20, 20).astype(np.float32)
-    out = np.asarray(denoise(img, "median", {"size": 3}))
+    out = np.asarray(denoise(img, "median", {"size": 3, "mode": "nearest"}))
     expected = scipy.ndimage.median_filter(img, size=3, mode="nearest")
     np.testing.assert_allclose(out, expected, atol=1e-6)
     out = np.asarray(denoise(img, "minimum", {"size": 3}))
-    expected = scipy.ndimage.minimum_filter(img, size=3, mode="nearest")
+    expected = scipy.ndimage.minimum_filter(img, size=3)  # default reflect
     np.testing.assert_allclose(out, expected, atol=1e-6)
 
 
@@ -167,3 +174,21 @@ def test_trace_metrics_against_formulas():
     # Perfect prediction.
     assert float(trace_dicecoef(true, true)) == 1.0
     assert float(trace_MSE(true, true)) == 0.0
+
+
+def test_trace_dicecoef_negative_row_wraps_like_reference():
+    # The reference fills pred_bin[int(y):, i] = 1; a negative y wraps
+    # via Python slicing and fills only the last |y| rows.
+    N = 12
+    true = np.stack([np.full(N, 4), np.arange(N)], axis=1)
+    pred = true.copy()
+    pred[3, 0] = -3
+    pb = np.zeros((N, N))
+    tb = np.zeros((N, N))
+    for i in range(N):
+        pb[pred[i, 0]:, i] = 1
+        tb[true[i, 0]:, i] = 1
+    jacc = np.sum(pb * tb) / np.sum(np.clip(pb + tb, 0, 1))
+    want = np.round(2 * jacc / (jacc + 1), 4)
+    assert float(trace_dicecoef(pred, true)) == pytest.approx(float(want),
+                                                              abs=1e-3)
