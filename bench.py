@@ -61,6 +61,32 @@ def main():
     log(f"tpu: {tpu_ms:.1f} ms  iters={int(res.n_iters)} "
         f"MSE={tpu_mse:.2f} DICE={tpu_dice:.4f}")
 
+    # --- FLOP / MFU accounting --------------------------------------------
+    from benchmarks.flops import device_peak_flops, trace_flops
+    fl = trace_flops(cfg, int(res.n_iters))
+    gflops = fl["total"] / 1e9
+    flops_s = fl["total"] / (tpu_ms / 1e3)
+    mfu_val = flops_s / device_peak_flops()
+    log(f"flops: {gflops:.2f} GFLOP/trace  achieved "
+        f"{flops_s / 1e12:.3f} TFLOP/s  mfu={100 * mfu_val:.3f}% of "
+        f"bf16 peak")
+
+    # --- multi-seed accuracy (gate on the median, not one lucky seed) -----
+    per_seed = [{"seed": cfg.seed, "mse": round(tpu_mse, 2),
+                 "dice": round(tpu_dice, 4), "iters": int(res.n_iters)}]
+    for extra_seed in (2, 3):
+        key = jax.random.PRNGKey(extra_seed)
+        r = jax.block_until_ready(run_trace(cfg, data, state0, key))
+        p = np.asarray(r.edge_trace)
+        per_seed.append({
+            "seed": extra_seed,
+            "mse": round(float(gpt.trace_MSE(p, true_edge)), 2),
+            "dice": round(float(gpt.trace_dicecoef(p, true_edge)), 4),
+            "iters": int(r.n_iters)})
+    dices = sorted(s["dice"] for s in per_seed)
+    median_dice = dices[len(dices) // 2]
+    log(f"per-seed: {per_seed}  median DICE={median_dice:.4f}")
+
     # --- CPU reference baseline ------------------------------------------
     from benchmarks.reference_cpu import ReferenceTracerCPU
     t0 = time.perf_counter()
@@ -72,16 +98,24 @@ def main():
     log(f"cpu reference: {ref_ms:.1f} ms  iters={ref_iters} "
         f"MSE={ref_mse:.2f} DICE={ref_dice:.4f}")
 
-    # Regression gate: demo-config DICE has ranged 0.989-0.993 across
-    # seeds/numerics changes; 0.97 catches real breakage without tripping
-    # on the algorithm's genuine seed spread.
-    assert tpu_dice > 0.97, f"accuracy regression: DICE {tpu_dice}"
+    # Regression gates: demo-config DICE has ranged 0.989-0.997 across
+    # seeds/numerics changes with a long lower tail. The 3-seed median
+    # catches regressions a single lucky seed would hide; the per-seed
+    # floor catches catastrophic breakage.
+    assert median_dice > 0.985, \
+        f"accuracy regression: median DICE {median_dice} ({per_seed})"
+    assert min(dices) > 0.97, f"accuracy regression: seed DICEs {per_seed}"
 
     print(json.dumps({
         "metric": "trace_500x500_wallclock",
         "value": round(tpu_ms, 2),
         "unit": "ms",
         "vs_baseline": round(ref_ms / tpu_ms, 3),
+        "gflops_per_trace": round(gflops, 2),
+        "achieved_tflops_s": round(flops_s / 1e12, 4),
+        "mfu": round(mfu_val, 5),
+        "per_seed": per_seed,
+        "median_dice": median_dice,
     }))
 
 

@@ -151,7 +151,8 @@ def prior_grid_cholesky(spec: KernelSpec, grid, length_scale, jitter=1e-6):
 
 def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
                    diag_noise, mask, L_prior_unit, x_idx, grid_out,
-                   n_samples, centre=True, post_scale=1.0):
+                   n_samples, centre=True, post_scale=1.0,
+                   sample_offset=0, total_samples=None):
     """Fit the GP and draw ``n_samples`` posterior curves over the grid.
 
     Replaces ``gp.fit`` + ``gp.sample_y`` (gpet.py:255-260 →
@@ -185,12 +186,25 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
         mean only, but :385,401 still multiply by ``_y_train_std``), so
         the tracer's sampling rounds effectively scale the centred
         posterior by ``std(y_scaled)`` — parity requires reproducing it.
+      sample_offset / total_samples: sample-sharding contract. The random
+        stream is DEFINED as the single ``(·, total_samples)`` draw from
+        ``key`` (counter-based threefry: same key + same shape → the same
+        array on every device); a shard drawing its ``n_samples = S/k``
+        slice generates the full matrix and slices columns
+        ``[offset, offset + n_samples)``. Sliced-away randoms cost
+        microseconds next to the Matheron matmuls, the single-device path
+        (``total_samples=None`` ⇒ no slice) is exactly the unsliced draw,
+        and every mesh consumes the identical per-sample stream — the
+        reference's seed-determinism contract (gpet.py:839) extended
+        across meshes. (Downstream curve values agree to f32 ulps, not
+        bits: XLA may reassociate (E, S/k) vs (E, S) contractions.)
 
     Returns:
       (E, n_samples) posterior curves (mean included).
     """
     G = L_prior_unit.shape[0]
     E = grid_out.shape[0]
+    S_tot = n_samples if total_samples is None else total_samples
     k_prior, k_noise = jax.random.split(key)
 
     y_mean = jnp.where(centre, masked_mean(y, mask), 0.0)
@@ -199,12 +213,20 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
     K = train_gram(spec, x, length_scale, variance, diag_noise, mask=mask)
     L = safe_cholesky(K)
 
+    def local_slice(a):
+        if S_tot == n_samples:
+            return a
+        return jax.lax.dynamic_slice_in_dim(a, sample_offset, n_samples,
+                                            axis=1)
+
     # Prior draws over the extended grid: sqrt(variance) * L_unit @ z.
-    z = jax.random.normal(k_prior, (G, n_samples), dtype=L_prior_unit.dtype)
+    z = local_slice(jax.random.normal(k_prior, (G, S_tot),
+                                      dtype=L_prior_unit.dtype))  # (G, S)
     f0 = jnp.sqrt(variance) * (L_prior_unit @ z)          # (G, S)
 
     # Heteroscedastic noise draws at the training points.
-    w = jax.random.normal(k_noise, (x.shape[0], n_samples), dtype=f0.dtype)
+    w = local_slice(jax.random.normal(k_noise, (x.shape[0], S_tot),
+                                      dtype=f0.dtype))    # (n, S)
     eps = jnp.sqrt(jnp.maximum(diag_noise, 0.0))[:, None] * w
 
     # f0 at the training points via a one-hot contraction: TPU row

@@ -25,8 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaussian_process_edge_trace_tpu.trace.driver import (
-    finish_trace, init_state, make_config, make_data, preview_samples,
-    run_trace, trace_step)
+    _round_up, final_fit_buffers, finish_trace, init_state, make_config,
+    make_data, preview_samples, run_trace, sample_round_buffers, trace_step)
 
 
 class GP_Edge_Tracing:
@@ -79,6 +79,10 @@ class GP_Edge_Tracing:
         self.x_grid = np.asarray(self.data.x_grid)
         self.grad_img = np.asarray(self.data.grad_img)
         self.grad_kde = np.asarray(self.data.grad_kde)
+        # Tiled inputs and per-init noise weights (gpet.py:115,161-162).
+        self.X = np.tile(self.x_grid[:, None], (1, self.N_samples))
+        self.alpha_init = np.full((self.init.shape[0],),
+                                  cfg.init_noise_weight)
 
     # -- helpers ----------------------------------------------------------
 
@@ -101,6 +105,189 @@ class GP_Edge_Tracing:
         if not return_lines:
             return edge_trace
         return edge_trace, (all_samples, all_obs, iter_curves)
+
+    # -- reference method surface ------------------------------------------
+    # The reference exposes the pipeline stages as methods on the tracer
+    # object (gpet.py:182-764); these thin methods delegate to the
+    # functional core with the reference's signatures and return shapes.
+
+    def _buffers_for_obs(self, obs):
+        """Padded training buffers for init + an arbitrary xy observation
+        array (gpet.py:209-214; sorting elided, the GP is
+        permutation-invariant)."""
+        obs = np.asarray(obs).reshape(-1, 2)
+        n_init = self.init.shape[0]
+        n = n_init + obs.shape[0]
+        cap = max(8, _round_up(n, 8))
+        x = np.zeros((cap,), np.int32)
+        y = np.zeros((cap,), np.int32)
+        mask = np.zeros((cap,), bool)
+        noise_w = np.ones((cap,), np.float32)
+        x[:n_init] = self.init[:, 0]
+        y[:n_init] = self.init[:, 1]
+        x[n_init:n] = obs[:, 0]
+        y[n_init:n] = obs[:, 1]
+        mask[:n] = True
+        noise_w[:n_init] = self.cfg.init_noise_weight  # gpet.py:161-162
+        return (jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask),
+                jnp.asarray(noise_w))
+
+    def fit_predict_GP(self, obs, converged=False, seed=0):
+        """Fit the GP on init + ``obs`` (gpet.py:182-268).
+
+        ``converged=False``: draw ``N_samples`` posterior curves, returned
+        as an (edge_length, N_samples) array (the reference's actual
+        return shape at gpet.py:259-261). ``converged=True``: LML-optimised
+        fit; returns ``(y_mean, y_std)`` (std in standardised-y units, the
+        reference quirk, gpet.py:263-266).
+        """
+        x, y, mask, noise_w = self._buffers_for_obs(obs)
+        key = jax.random.PRNGKey(seed)
+        if not converged:
+            return np.asarray(sample_round_buffers(
+                self.cfg, self.data, x, y, mask, noise_w, key))
+        y_mean, y_std = final_fit_buffers(self.cfg, self.data, x, y, mask,
+                                          noise_w, key)
+        return np.asarray(y_mean), np.asarray(y_std)
+
+    def grad_interp(self, rows, cols, grid=False):
+        """Bilinear gradient-image lookup — the reference's
+        ``RectBivariateSpline(kx=1, ky=1)`` attribute (gpet.py:122-125),
+        called as ``grad_interp(edge[:, 1], edge[:, 0], grid=False)``."""
+        from gaussian_process_edge_trace_tpu.ops.interp import (
+            bilinear_interp)
+        rows = np.asarray(rows, np.float64)
+        cols = np.asarray(cols, np.float64)
+        if grid:
+            rows, cols = rows[:, None], cols[None, :]
+        return np.asarray(bilinear_interp(self.grad_img.astype(np.float64),
+                                          rows, cols))
+
+    def finite_diff(self, vec, typ=0, h=1):
+        """Forward/backward/central differencing (gpet.py:336-367)."""
+        from gaussian_process_edge_trace_tpu.ops.diff import finite_diff
+        return np.asarray(finite_diff(np.asarray(vec), typ=typ, h=h))
+
+    def cost_funct(self, edge):
+        """Cost of one xy-space edge: arc length / line integral
+        (gpet.py:371-410). Accepts arbitrary (n, 2) edges (not only curves
+        on the x-grid)."""
+        from gaussian_process_edge_trace_tpu.ops.diff import finite_diff
+        from gaussian_process_edge_trace_tpu.ops.integrate import (
+            simpson_nonuniform)
+        from gaussian_process_edge_trace_tpu.ops.interp import (
+            bilinear_interp)
+        edge = np.asarray(edge, np.float64)
+        edge = edge[edge[:, 0].argsort(), :]                 # gpet.py:391
+        grad_score = np.asarray(bilinear_interp(
+            self.grad_img.astype(np.float64), edge[:, 1],
+            edge[:, 0])) + self.kde_thresh                   # gpet.py:392
+        pixel_diff = np.cumsum(np.sqrt(
+            np.sum(np.diff(edge, axis=0) ** 2, axis=1)))     # gpet.py:397
+        deriv = np.asarray(finite_diff(edge[:, 1], typ=0, h=1))
+        integrand = np.sqrt(1.0 + deriv ** 2)                # gpet.py:400-401
+        line_integral = float(simpson_nonuniform(
+            jnp.asarray(grad_score[:-1]), jnp.asarray(pixel_diff)))
+        arc_length = float(simpson_nonuniform(
+            jnp.asarray(integrand), jnp.asarray(edge[:-1, 0])))
+        return arc_length / line_integral                    # gpet.py:408
+
+    def get_best_curves(self, y_samples):
+        """Rank posterior curves by cost (gpet.py:414-451). ``y_samples``
+        is (edge_length, N_samples); returns ``(best_curves
+        (E, N_keep, 2), best_costs (N_keep,), (optimal_curve (E, 2),
+        optimal_cost))`` with curves stacked as xy pairs like the
+        reference's ``np.stack((self.X, y_samples), axis=-1)``."""
+        from gaussian_process_edge_trace_tpu.trace.scoring import (
+            best_curves, curve_costs)
+        y_samples = jnp.asarray(y_samples)
+        costs = curve_costs(self.data.grad_img, self.data.x_grid,
+                            y_samples, kde_thresh=self.kde_thresh)
+        bc, bcosts = best_curves(y_samples, costs, self.N_keep)
+        bc = np.asarray(bc)
+        bcosts = np.asarray(bcosts)
+        X = np.tile(self.x_grid[:, None], (1, self.N_keep))
+        curves = np.stack([X, bc], axis=-1)                  # (E, K, 2)
+        return curves, bcosts, (curves[:, 0, :], float(bcosts[0]))
+
+    def kernel_density_estimate(self, best_curves=None, costs=None, bw=1):
+        """Dual-mode KDE (gpet.py:455-529): curve mode when ``costs`` is
+        given ((E, K, 2) xy curves weighted by normalised inverse cost),
+        gradient-image mode otherwise. Returns the (M, N) min-max
+        normalised KDE."""
+        from gaussian_process_edge_trace_tpu.trace.kde import (
+            curve_kde, gradient_kde)
+        if costs is None or best_curves is None:             # gpet.py:503-509
+            return np.asarray(gradient_kde(
+                self.data.grad_img, kde_thresh=self.kde_thresh, bw=bw))
+        y = jnp.asarray(np.asarray(best_curves)[:, :, 1])
+        inv = 1.0 / np.asarray(costs)
+        weights = jnp.asarray(inv / inv.sum())               # gpet.py:492-493
+        return np.asarray(curve_kde(y, weights, self.M, self.N,
+                                    self.x_st, bw=bw))
+
+    def _select(self, kde_arr, pre_fobs, cand_mask=None):
+        """Shared body of compute_new_obs/get_best_pixels: run the dense
+        selection round, persist the adaptive threshold (gpet.py:595),
+        return compact xy fobs."""
+        from gaussian_process_edge_trace_tpu.trace.select import (
+            select_pixels)
+        pre = np.asarray(pre_fobs).reshape(-1, 2).astype(np.int64)  # yx
+        n = pre.shape[0]
+        cap = max(8, _round_up(n, 8))
+        ox = np.zeros((cap,), np.int32)
+        oy = np.zeros((cap,), np.int32)
+        ov = np.zeros((cap,), bool)
+        ox[:n] = pre[:, 1]
+        oy[:n] = pre[:, 0]
+        ov[:n] = True
+        cfg = self.cfg
+        sel = select_pixels(
+            jnp.asarray(kde_arr, jnp.float32), self.data.grad_kde,
+            jnp.asarray(ox), jnp.asarray(oy), jnp.asarray(ov), n_pre=n,
+            score_thresh=jnp.float32(self.score_thresh), spec=cfg.bins,
+            fix_endpoints=cfg.fix_endpoints, kde_thresh=cfg.kde_thresh,
+            pixel_thresh=cfg.pixel_thresh, algo_thresh=cfg.algo_thresh,
+            max_decays=cfg.max_decays,
+            cand_mask=(None if cand_mask is None
+                       else jnp.asarray(cand_mask, bool)))
+        self.score_thresh = float(sel.score_thresh)
+        valid = np.asarray(sel.obs_valid)
+        return np.stack([np.asarray(sel.obs_x)[valid],
+                         np.asarray(sel.obs_y)[valid]],
+                        axis=1).astype(np.int64)
+
+    def compute_new_obs(self, pixel_idx, kde_arr, pre_fobs):
+        """Score the given yx candidate pixels + rescored previous obs,
+        adaptively threshold, per-bin NMS (gpet.py:532-619). Returns the
+        accepted xy fobs, one per occupied bin."""
+        pixel_idx = np.asarray(pixel_idx).reshape(-1, 2)
+        cand = np.zeros((self.M, self.N), bool)
+        cand[pixel_idx[:, 0], pixel_idx[:, 1]] = True
+        return self._select(kde_arr, pre_fobs, cand_mask=cand)
+
+    def get_best_pixels(self, best_curves, costs, pre_fobs):
+        """KDE of the best curves → candidate pixels (with the
+        fixed-endpoint column exclusion) → :meth:`compute_new_obs`
+        (gpet.py:622-662). ``pre_fobs`` is yx-space like the reference's
+        call site (gpet.py:857)."""
+        kde_arr = self.kernel_density_estimate(best_curves, costs)
+        return self._select(kde_arr, pre_fobs)
+
+    def plot_iter(self, y_samples, N_plt_samples, obs):
+        """Posterior fan chart (gpet.py:666-723)."""
+        from gaussian_process_edge_trace_tpu.utils.plotting import plot_iter
+        return plot_iter(self.x_grid, y_samples, N_plt_samples, obs,
+                         self.init, (self.M, self.N))
+
+    def plot_diagnostics(self, iter_optimal_curves, iter_optimal_costs,
+                         credint=None):
+        """Optimal curve per iteration + cost scatter (gpet.py:727-764)."""
+        from gaussian_process_edge_trace_tpu.utils.plotting import (
+            plot_diagnostics)
+        return plot_diagnostics(self.grad_img, self.x_grid,
+                                iter_optimal_curves, iter_optimal_costs,
+                                credint)
 
     # -- the trace ---------------------------------------------------------
 

@@ -290,7 +290,7 @@ def _train_set(cfg: TracerConfig, data: TracerData, state: TraceState):
 
 
 def _sample_round(cfg: TracerConfig, data: TracerData, x, y, mask, noise_w,
-                  key, n_samples=None):
+                  key, n_samples=None, sample_offset=0):
     """One sampling-mode GP round (gpet.py:227-230,255-261): scale y by
     std+1, set variance to σf²/y_s², fit + draw N_samples Matheron curves,
     rescale."""
@@ -311,7 +311,8 @@ def _sample_round(cfg: TracerConfig, data: TracerData, x, y, mask, noise_w,
         variance, diag_noise, mask, data.L_prior_unit, x_idx=x,
         grid_out=data.x_grid,
         n_samples=cfg.N_samples if n_samples is None else n_samples,
-        centre=True, post_scale=post_scale)
+        centre=True, post_scale=post_scale, sample_offset=sample_offset,
+        total_samples=None if n_samples is None else cfg.N_samples)
     return samples * y_s  # (E, S)
 
 
@@ -320,51 +321,52 @@ def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState,
     """One outer-loop iteration (gpet.py:829-861).
 
     With ``sample_axis`` set (inside :func:`shard_map` over a mesh axis of
-    size ``n_sample_shards``), the N_samples posterior draws, curve costs
-    and KDE binning are computed on local shards; the global top-N_keep
-    selection uses an ``all_gather`` of the (tiny) cost vector and the KDE
-    reduction is a ``psum`` of the additive blurred grids — the
-    sample-parallel (sp) axis of SURVEY.md §2. The selection/GP state stays
-    replicated across the axis (psum/all_gather results are identical on
-    every member). One deviation under sp: cost ties at the N_keep
-    boundary may keep a few extra curves (weight-thresholding instead of
-    an exact-k gather); ties have probability ~0 for continuous costs.
+    size ``n_sample_shards``), each shard draws its N_samples/k slice of
+    the posterior curves — columns of the full keyed draw, so each sample
+    consumes the identical random stream a single device would use — and
+    scores them locally; the global top-N_keep selection runs replicated
+    on an ``all_gather`` of the (tiny) cost vector, the kept curves are
+    assembled with a local one-hot extraction + ``psum`` (every column has
+    exactly one contributing shard, the rest add exact zeros), and the
+    KDE over the kept set is computed replicated. The selection pipeline
+    therefore executes the identical computation on every shard:
+    ``sharded_trace_batch`` on any mesh reproduces ``trace_batch_vmap``'s
+    algorithmic trajectory EXACTLY (same accepted pixels, same iteration
+    counts, same integer trace), with float telemetry equal to f32 ulps
+    (XLA may reassociate (E, S/k) vs (E, S) contractions differently) —
+    pinned on (1,8), (2,4), (8,1) meshes in tests/test_parallel.py.
     """
     x, y, mask, noise_w = _train_set(cfg, data, state)
     key_it = jax.random.fold_in(key, state.it + 1)  # seed+N_iter+1
-    if sample_axis is not None:
-        key_it = jax.random.fold_in(key_it, jax.lax.axis_index(sample_axis))
     s_local = cfg.N_samples // n_sample_shards
+    off = (0 if sample_axis is None
+           else jax.lax.axis_index(sample_axis) * s_local)
     samples = _sample_round(cfg, data, x, y, mask, noise_w, key_it,
-                            n_samples=s_local)
+                            n_samples=s_local, sample_offset=off)
 
     costs = curve_costs(data.grad_img, data.x_grid, samples,
                         kde_thresh=cfg.kde_thresh)
 
     if sample_axis is None:
         bc, bcosts = best_curves(samples, costs, cfg.N_keep)
-        inv = 1.0 / bcosts
-        weights = inv / jnp.sum(inv)                 # gpet.py:492-493
-        kde_arr = curve_kde(bc, weights, cfg.M, cfg.N, cfg.x_st)
-        opt_curve, opt_cost = bc[:, 0], bcosts[0]
     else:
-        from gaussian_process_edge_trace_tpu.trace.kde import (
-            curve_kde_raw, kde_normalise)
         costs_g = jax.lax.all_gather(costs, sample_axis,
-                                     tiled=True)        # (S,)
-        kth = jnp.sort(costs_g)[cfg.N_keep - 1]
-        keep = costs <= kth
-        w = jnp.where(keep, 1.0 / costs, 0.0)  # global scale cancels in
-        #                                        the KDE min-max
-        raw = curve_kde_raw(samples, w, cfg.M, cfg.N, cfg.x_st)
-        kde_arr = kde_normalise(jax.lax.psum(raw, sample_axis))
-        ig = jnp.argmin(costs_g)
-        src = (ig // s_local).astype(jnp.int32)
-        lidx = (ig % s_local).astype(jnp.int32)
-        me = jax.lax.axis_index(sample_axis)
-        opt_curve = jax.lax.psum(
-            jnp.where(me == src, samples[:, lidx], 0.0), sample_axis)
-        opt_cost = costs_g[ig]
+                                     tiled=True)          # (S,) global
+        neg, idx = jax.lax.top_k(-costs_g, cfg.N_keep)
+        bcosts = -neg
+        # Local slice of the global one-hot selector: column k is nonzero
+        # on exactly one shard, so the psum adds exact zeros elsewhere and
+        # bc is bitwise the single-device best_curves() output.
+        gidx = off + jnp.arange(s_local, dtype=jnp.int32)
+        onehot = (idx[None, :] == gidx[:, None]).astype(samples.dtype)
+        bc = jax.lax.psum(
+            jnp.matmul(samples, onehot,
+                       precision=jax.lax.Precision.HIGHEST),
+            sample_axis)                                  # (E, N_keep)
+    inv = 1.0 / bcosts
+    weights = inv / jnp.sum(inv)                          # gpet.py:492-493
+    kde_arr = curve_kde(bc, weights, cfg.M, cfg.N, cfg.x_st)
+    opt_curve, opt_cost = bc[:, 0], bcosts[0]
 
     # Previous observations = user warm-start ∪ binned buffer.
     prev_x = jnp.concatenate([state.user_x, state.obs_x])
@@ -395,6 +397,14 @@ def _final_fit(cfg: TracerConfig, data: TracerData, key, state: TraceState):
     vmapped L-BFGS starts, predict (gpet.py:233-248,263-266 →
     sklearn_gpr.py:254-295)."""
     x, y, mask, noise_w = _train_set(cfg, data, state)
+    return _final_fit_buffers(cfg, data, key, x, y, mask, noise_w)
+
+
+def _final_fit_buffers(cfg: TracerConfig, data: TracerData, key, x, y, mask,
+                       noise_w):
+    """:func:`_final_fit` body on explicit padded training buffers (also
+    drives the public ``fit_predict_GP(converged=True)`` tracer method,
+    gpet.py:233-248)."""
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     X_m, X_s = masked_mean(xf, mask), masked_std(xf, mask)
@@ -449,6 +459,28 @@ def _final_fit(cfg: TracerConfig, data: TracerData, key, state: TraceState):
     mean_std, std = gp_predict(cfg.kernel, gp, xq, ls, c, return_std=True)
     y_mean = y_s * mean_std + y_m            # gpet.py:266
     return y_mean, std, y_s, theta, lml
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def sample_round_buffers(cfg: TracerConfig, data: TracerData, x, y, mask,
+                         noise_w, key, n_samples=None):
+    """Public jitted wrapper of the sampling-mode GP round on explicit
+    padded buffers — backs ``GP_Edge_Tracing.fit_predict_GP(converged=
+    False)`` (gpet.py:182-261) for arbitrary observation sets."""
+    return _sample_round(cfg, data, x, y, mask, noise_w, key,
+                         n_samples=n_samples)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def final_fit_buffers(cfg: TracerConfig, data: TracerData, x, y, mask,
+                      noise_w, key):
+    """Public jitted wrapper of the converged LML fit on explicit padded
+    buffers — backs ``GP_Edge_Tracing.fit_predict_GP(converged=True)``
+    (gpet.py:233-266). Returns ``(y_mean, y_std)`` (standardised-units
+    std, the reference quirk)."""
+    y_mean, y_std, _, _, _ = _final_fit_buffers(cfg, data, key, x, y, mask,
+                                                noise_w)
+    return y_mean, y_std
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

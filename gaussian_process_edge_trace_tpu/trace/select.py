@@ -87,7 +87,7 @@ class Selection(NamedTuple):
 def select_pixels(kde_arr, grad_kde, obs_x, obs_y, obs_valid, n_pre,
                   score_thresh, spec: BinSpec, fix_endpoints: bool,
                   kde_thresh: float, pixel_thresh: int, algo_thresh: int,
-                  max_decays: int = 400) -> Selection:
+                  max_decays: int = 400, cand_mask=None) -> Selection:
     """One selection round: scores, adaptive threshold, per-bin NMS.
 
     Args:
@@ -97,6 +97,10 @@ def select_pixels(kde_arr, grad_kde, obs_x, obs_y, obs_valid, n_pre,
       n_pre: scalar int — number of previous observations
         (``pre_fobs.shape[0]``, gpet.py:561).
       score_thresh: current adaptive threshold (carried across iterations).
+      cand_mask: optional (M, N) bool mask overriding the internally
+        derived candidate set (the reference's ``pixel_idx`` argument to
+        ``compute_new_obs``, gpet.py:532-535; ``None`` = derive from
+        ``kde_arr`` as ``get_best_pixels`` does, gpet.py:648-657).
     """
     M, N = kde_arr.shape
     dtype = kde_arr.dtype
@@ -104,7 +108,9 @@ def select_pixels(kde_arr, grad_kde, obs_x, obs_y, obs_valid, n_pre,
 
     # --- eligibility -----------------------------------------------------
     dense_cand = kde_arr > kde_thresh                        # gpet.py:651
-    if fix_endpoints:                                        # gpet.py:655-657
+    if cand_mask is not None:
+        cand = cand_mask
+    elif fix_endpoints:                                      # gpet.py:655-657
         col_ok = (cols > spec.x_st) & (cols < spec.x_en)
         cand = dense_cand & col_ok[None, :]
     else:

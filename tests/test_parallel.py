@@ -75,27 +75,42 @@ def test_sharded_batch_converges_and_is_accurate():
     assert max(mses) < 120.0, mses
 
 
-def test_sharded_matches_vmap_oracle_statistically():
-    # The sharded path draws per-device sample shards (different RNG
-    # stream than single-device), so equality is metric-level, not bitwise.
-    grads, inits, edges = _frames(2)
+# Fields whose values are selected (not accumulated): identical across
+# meshes because every posterior draw is keyed by its GLOBAL sample index
+# and the whole selection pipeline runs replicated on
+# all_gather/psum-assembled values.
+_EXACT_FIELDS = ("edge_trace", "n_iters", "converged", "iter_nobs",
+                 "iter_thresh", "obs_x", "obs_y", "obs_valid")
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_equals_vmap_exactly(mesh_shape):
+    """Sharded == single-device vmap: the algorithmic trajectory (every
+    accepted pixel, every iteration count, the final integer trace) is
+    EXACTLY equal on any mesh, because posterior draws are keyed by global
+    sample index and selection runs replicated (gpet.py:839's seed
+    determinism extended across meshes). Float telemetry agrees to a few
+    f32 ulps — XLA may reassociate contractions differently for different
+    local batch shapes ((E, S/k) vs (E, S) matmuls), which no sharding
+    design can prevent."""
+    grads, inits, edges = _frames(8)
     cfg = _cfg_for(inits, grads.shape[1:])
     data = make_batch_data(cfg, grads, inits)
-    states = make_batch_state(cfg, 2)
+    states = make_batch_state(cfg, 8)
 
-    ref = trace_batch_vmap(cfg, data, states)
-    mesh = make_mesh(1, 8)
-    got = sharded_trace_batch(cfg, data, states, mesh, n_frames=2)
-    for f in range(2):
-        mse_ref = float(trace_MSE(
-            jnp.asarray(np.asarray(ref.edge_trace[f])),
-            jnp.asarray(edges[f])))
-        mse_got = float(trace_MSE(
-            jnp.asarray(np.asarray(got.edge_trace[f])),
-            jnp.asarray(edges[f])))
-        assert bool(got.converged[f])
-        # Long-tailed quality spread on 64x64 configs (see the batch test).
-        assert mse_ref < 120.0 and mse_got < 120.0, (mse_ref, mse_got)
+    ref = jax.device_get(trace_batch_vmap(cfg, data, states))
+    mesh = make_mesh(*mesh_shape)
+    got = jax.device_get(
+        sharded_trace_batch(cfg, data, states, mesh, n_frames=8))
+    assert np.all(np.asarray(ref.converged))
+    for field in ref._fields:
+        r = np.asarray(getattr(ref, field))
+        g = np.asarray(getattr(got, field))
+        if field in _EXACT_FIELDS:
+            np.testing.assert_array_equal(r, g, err_msg=field)
+        else:
+            np.testing.assert_allclose(r, g, rtol=1e-4, atol=2e-3,
+                                       err_msg=field)
 
 
 def test_data_axis_only_mesh():

@@ -107,3 +107,130 @@ def test_reference_module_aliases():
     assert hasattr(gpet_utils, "kernel_builder")
     assert hasattr(sklearn_gpr, "GaussianProcessRegressor")
     assert hasattr(sklearn_gpr, "WeightedWhiteKernel")
+
+
+def test_reference_method_surface_drives_one_manual_iteration():
+    """Drive the reference's public methods the way gpet.py's __call__
+    does (gpet.py:829-886): fit_predict_GP -> get_best_curves ->
+    get_best_pixels -> fit_predict_GP(converged=True)."""
+    grad, edge, init = _setup()
+    tracer = GP_Edge_Tracing(init, grad, **_kw())
+
+    # Sampling round (gpet.py:839): (E, N_samples) posterior curves.
+    y_samples = tracer.fit_predict_GP(np.zeros((0, 2), int),
+                                      converged=False, seed=1)
+    assert y_samples.shape == (tracer.edge_length, tracer.N_samples)
+
+    # Rank curves (gpet.py:847).
+    curves, costs, (opt_curve, opt_cost) = tracer.get_best_curves(y_samples)
+    assert curves.shape == (tracer.edge_length, tracer.N_keep, 2)
+    assert costs.shape == (tracer.N_keep,)
+    np.testing.assert_array_equal(curves[:, :, 0],
+                                  np.tile(tracer.x_grid[:, None],
+                                          (1, tracer.N_keep)))
+    assert np.all(np.diff(costs) >= 0) and opt_cost == costs[0]
+    np.testing.assert_array_equal(opt_curve, curves[:, 0, :])
+
+    # Curve KDE (gpet.py:648) and gradient KDE (gpet.py:127).
+    kde = tracer.kernel_density_estimate(curves, costs)
+    assert kde.shape == (tracer.M, tracer.N)
+    assert kde.min() == 0.0 and kde.max() == 1.0
+    np.testing.assert_allclose(tracer.kernel_density_estimate(),
+                               tracer.grad_kde, atol=1e-6)
+
+    # Pixel selection (gpet.py:857, pre_fobs passed yx).
+    thresh_before = tracer.score_thresh
+    fobs = tracer.get_best_pixels(curves, costs, np.zeros((0, 2), int))
+    assert fobs.ndim == 2 and fobs.shape[1] == 2 and fobs.shape[0] > 0
+    assert tracer.score_thresh <= thresh_before  # persistent decay
+    # fobs is xy: x within image, one per bin => strictly increasing x.
+    assert np.all(np.diff(fobs[:, 0]) > 0)
+    assert np.all((fobs[:, 0] >= 0) & (fobs[:, 0] < tracer.N))
+
+    # compute_new_obs with explicit yx candidates (gpet.py:532-619).
+    cand_yx = np.argwhere(kde > tracer.kde_thresh)
+    cand_yx = cand_yx[(cand_yx[:, 1] > tracer.x_st)
+                      & (cand_yx[:, 1] < tracer.x_en)]
+    fobs2 = tracer.compute_new_obs(cand_yx, kde, fobs[:, [1, 0]])
+    assert fobs2.shape[1] == 2 and fobs2.shape[0] >= fobs.shape[0]
+
+    # Drive the remaining rounds through the methods exactly as the
+    # reference __call__ does (gpet.py:829-861) until convergence.
+    it = 1
+    while fobs.shape[0] < tracer.algo_thresh and it < tracer.cfg.max_iters:
+        it += 1
+        y_samples = tracer.fit_predict_GP(fobs, converged=False, seed=it)
+        curves, costs, _ = tracer.get_best_curves(y_samples)
+        fobs = tracer.get_best_pixels(curves, costs, fobs[:, [1, 0]])
+    assert fobs.shape[0] >= tracer.algo_thresh
+
+    # Converged fit (gpet.py:874): mean + standardised-units std.
+    y_mean, y_std = tracer.fit_predict_GP(fobs, converged=True, seed=2)
+    assert y_mean.shape == y_std.shape == (tracer.edge_length,)
+    assert np.all(y_std >= 0)
+    mse = float(np.mean((y_mean - edge[: tracer.edge_length, 0]) ** 2))
+    assert mse < 40.0, mse
+
+
+def test_cost_funct_matches_scipy_oracle():
+    """tracer.cost_funct on an arbitrary (non-grid) edge vs the reference
+    formula computed with scipy directly (gpet.py:391-408)."""
+    import scipy.integrate
+    from scipy.interpolate import RectBivariateSpline
+
+    grad, edge, init = _setup()
+    tracer = GP_Edge_Tracing(init, grad, **_kw())
+    rng = np.random.default_rng(0)
+    xs = np.sort(rng.uniform(0, tracer.N - 1, size=60))
+    ys = np.clip(edge[np.clip(xs.astype(int), 0, tracer.N - 1), 0]
+                 + rng.normal(0, 2.0, size=60), 0, tracer.M - 1)
+    e = np.stack([xs, ys], axis=1)
+
+    interp = RectBivariateSpline(np.arange(tracer.M), np.arange(tracer.N),
+                                 tracer.grad_img, kx=1, ky=1)
+    es = e[e[:, 0].argsort(), :]
+    gs = interp(es[:, 1], es[:, 0], grid=False) + tracer.kde_thresh
+    pixel_diff = np.cumsum(np.sqrt(np.sum(np.diff(es, axis=0) ** 2, axis=1)))
+    deriv = es[1:, 1] - es[:-1, 1]
+    integrand = np.sqrt(1 + deriv ** 2)
+    ref_cost = (scipy.integrate.simpson(integrand, x=es[:-1, 0])
+                / scipy.integrate.simpson(gs[:-1], x=pixel_diff))
+    got = tracer.cost_funct(e)
+    np.testing.assert_allclose(got, ref_cost, rtol=1e-6)
+
+
+def test_grad_interp_and_finite_diff_methods():
+    from scipy.interpolate import RectBivariateSpline
+
+    grad, edge, init = _setup()
+    tracer = GP_Edge_Tracing(init, grad, **_kw())
+    interp = RectBivariateSpline(np.arange(tracer.M), np.arange(tracer.N),
+                                 tracer.grad_img, kx=1, ky=1)
+    rng = np.random.default_rng(1)
+    rows = rng.uniform(-2, tracer.M + 1, 50)   # incl. out-of-domain clamp
+    cols = rng.uniform(-2, tracer.N + 1, 50)
+    np.testing.assert_allclose(tracer.grad_interp(rows, cols, grid=False),
+                               interp(rows, cols, grid=False), atol=1e-6)
+    v = rng.normal(size=17)
+    np.testing.assert_allclose(tracer.finite_diff(v, typ=0, h=1),
+                               v[1:] - v[:-1], atol=1e-12)
+
+
+def test_plot_methods_smoke():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    grad, edge, init = _setup()
+    tracer = GP_Edge_Tracing(init, grad, **_kw())
+    y_samples = tracer.fit_predict_GP(np.zeros((0, 2), int),
+                                      converged=False, seed=1)
+    curves, costs, (opt_curve, opt_cost) = tracer.get_best_curves(y_samples)
+    from gaussian_process_edge_trace_tpu.utils import plotting
+    fig1 = plotting.plot_iter(tracer.x_grid, y_samples, 10,
+                              np.zeros((0, 2), int), tracer.init,
+                              (tracer.M, tracer.N), show=False)
+    fig2 = plotting.plot_diagnostics(tracer.grad_img, tracer.x_grid,
+                                     [opt_curve], [opt_cost], show=False)
+    assert fig1 is not None and fig2 is not None
+    plt.close("all")
