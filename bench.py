@@ -46,6 +46,10 @@ def main():
     cfg = make_config(init, grad.shape, kernel_options=ko, **kw)
     data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
     state0 = init_state(cfg)
+    # Force one device->host fetch so the tunneled TPU runtime is in
+    # synchronous mode BEFORE timing (CLAUDE.md measurement gotcha) —
+    # explicitly, not as a side effect of preprocessing (ADVICE round 1).
+    _ = float(jnp.sum(data.grad_img))
     t0 = time.perf_counter()
     res = jax.block_until_ready(run_trace(cfg, data, state0))
     log(f"first call (incl compile): {time.perf_counter() - t0:.2f}s")

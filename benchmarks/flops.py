@@ -58,21 +58,24 @@ def iteration_flops(cfg) -> dict:
 
 
 def final_fit_flops(cfg) -> dict:
-    """FLOPs of `_final_fit`: batched 13-start screen + 4×8 L-BFGS polish
-    + predict (trace/driver.py)."""
+    """FLOPs of `_final_fit`: batched (13 starts + 150 grid) screen +
+    8×6 damped-Newton polish + predict (trace/driver.py::optimize_lml →
+    models/newton.py)."""
     E = cfg.edge_length
     n = cfg.n_train
-    starts = cfg.lml_restarts + 1
-    n_polish, polish_iters = 4, 8
+    starts = cfg.lml_restarts + 1 + 150   # + lml_screen_grid
+    n_polish, polish_iters = 8, 6
+    n_candidates = 6                      # 5 dampings + gradient fallback
 
     lml_fwd = 8 * n * n + 2 * n ** 3 // 3 + 2 * n * n    # gram+chol+solve
-    # reverse-mode through Cholesky ≈ 2× forward, so value_and_grad ≈ 3×.
+    # reverse-mode through Cholesky ≈ 2× forward (value_and_grad ≈ 3×);
+    # the 3-dim Hessian via forward-over-reverse ≈ 3 tangents of the grad.
     lml_grad = 3 * lml_fwd
+    lml_hess = 3 * lml_grad
     d = {}
     d["screen"] = starts * lml_fwd
-    # each L-BFGS iteration evaluates value+grad once plus a batched
-    # 8-candidate line-search probe (models/lbfgs.py).
-    d["polish"] = n_polish * polish_iters * (lml_grad + 8 * lml_fwd)
+    d["polish"] = n_polish * polish_iters * (
+        lml_grad + lml_hess + n_candidates * lml_fwd)
     d["final_gp_fit"] = 8 * n * n + 2 * n ** 3 // 3 + 2 * n * n
     d["final_predict_std"] = 2 * E * n + n * n * E       # mean + V solve
     return d

@@ -213,7 +213,16 @@ class ReferenceTracerCPU:
         gv = np.concatenate([old_grad, new_grad])
         scores = (iv * gv + iv + gv) / 3.0
 
+        # One unconditional thresholding pass before the decay loop so the
+        # binned set is always defined (the upstream reference leaves
+        # best/bins/uniq unbound when the loop body never runs,
+        # gpet.py:589-616 — latent NameError fixed here, ADVICE round 1).
         n_pix, i = n_pre, 0
+        mask = scores >= self.score_thresh
+        best, bs = pixels[mask], scores[mask]
+        bins = np.round((best[:, 1] - self.x_st)
+                        / self.delta_x).astype(int)
+        uniq = np.unique(bins)
         while (n_pix - n_pre < self.pixel_thresh
                and n_pix < self.algo_thresh and i < 500):
             if i > 0:

@@ -253,7 +253,7 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
 
 
 def log_marginal_likelihood(spec: KernelSpec, x, yc, mask, theta,
-                            noise_weight, jitter=1e-6):
+                            noise_weight, jitter=1e-6, pd_guard=True):
     """LML of θ = (log c, log ℓ, log σn²) for centred targets ``yc``.
 
     Matches sklearn_gpr.py:512-546 for the composite kernel
@@ -262,25 +262,33 @@ def log_marginal_likelihood(spec: KernelSpec, x, yc, mask, theta,
     ⇒ log-det contribution 0, yc = 0 ⇒ quadratic contribution 0); the
     −n/2·log 2π constant uses the *valid* count for value parity.
 
-    Returns −inf when the Gram is not positive definite
-    (sklearn_gpr.py:520-522), with zero gradient there.
+    With ``pd_guard=True`` (default), returns −inf when the Gram is not
+    positive definite (sklearn_gpr.py:520-522), with zero gradient there —
+    at the cost of a second (probe) Cholesky per evaluation. With
+    ``pd_guard=False`` the non-PD case yields NaN value/gradient instead;
+    callers that sanitise NaNs themselves (the Newton hyperparameter
+    polish, models/newton.py) use this to halve the Cholesky count on the
+    latency-critical final-fit path. Identical values wherever K is PD.
     """
     c = jnp.exp(theta[0])
     ls = jnp.exp(theta[1])
     noise = jnp.exp(theta[2])
     diag_noise = noise * noise_weight + jitter
     K = train_gram(spec, x, ls, c, diag_noise, mask=mask)
-    # Probe factorisation (no gradient) to detect non-PD Grams, then
-    # differentiate through a guaranteed-PD surrogate so the -inf branch
-    # has zero (not NaN) gradient.
-    probe = jnp.diagonal(jnp.linalg.cholesky(jax.lax.stop_gradient(K)))
-    ok = jnp.all(jnp.isfinite(probe) & (probe > 0.0))
-    K_safe = jnp.where(ok, K, jnp.eye(K.shape[0], dtype=K.dtype))
-    L = jnp.linalg.cholesky(K_safe)
+    if pd_guard:
+        # Probe factorisation (no gradient) to detect non-PD Grams, then
+        # differentiate through a guaranteed-PD surrogate so the -inf
+        # branch has zero (not NaN) gradient.
+        probe = jnp.diagonal(jnp.linalg.cholesky(jax.lax.stop_gradient(K)))
+        ok = jnp.all(jnp.isfinite(probe) & (probe > 0.0))
+        K = jnp.where(ok, K, jnp.eye(K.shape[0], dtype=K.dtype))
+    L = jnp.linalg.cholesky(K)
     a = cho_solve((L, True), yc)
     a = jnp.where(mask, a, 0.0)
     n_valid = jnp.sum(mask).astype(yc.dtype)
     lml = (-0.5 * jnp.sum(yc * a)
            - jnp.sum(jnp.log(jnp.where(mask, jnp.diagonal(L), 1.0)))
            - 0.5 * n_valid * jnp.log(2.0 * jnp.pi))
-    return jnp.where(ok, lml, -jnp.inf)
+    if pd_guard:
+        lml = jnp.where(ok, lml, -jnp.inf)
+    return lml

@@ -111,7 +111,9 @@ def resolve_kernel_options(kernel_options, M, edge_length):
         sigma_f = kernel_options["sigma_f"]
         sigma_l = kernel_options["length_scale"]
         kernel_type = kernel_options["kernel"]
-        nu = kernel_options.get("nu", 2.5) if kernel_type == "Matern" else 2.5
+        # A Matern dict without 'nu' raises KeyError exactly like the
+        # reference's kernel_options['nu'] access (gpet.py:133).
+        nu = kernel_options["nu"] if kernel_type == "Matern" else 2.5
     else:
         rbf_matern, sigmaf_opt, sigmal_opt = kernel_options
         kernel_type = ["RBF", "Matern"][int(rbf_matern > 0)]

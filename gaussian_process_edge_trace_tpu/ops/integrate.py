@@ -66,7 +66,12 @@ def simpson_nonuniform(y, x, axis=-1):
 
     # Even number of points: Simpson on points [0, n-2] (odd count) plus the
     # Cartwright correction on the trailing interval, mirroring scipy's
-    # even='simpson' composite rule.
+    # even='simpson' composite rule (the modern >=1.11 default, which the
+    # installed scipy — and hence the CPU parity oracle — uses). The genuine
+    # upstream called scipy.integrate.simps whose historical default was
+    # even='avg'; the difference is one trailing-interval term per
+    # quadrature, far below every metric tolerance in the pipeline, and is
+    # documented rather than reproduced (ADVICE round 1).
     main = _odd_block(y[..., : n - 1], h[..., : n - 2])
     h0 = h[..., -2]
     h1 = h[..., -1]

@@ -44,11 +44,11 @@ def _interp_kernel(col_ref, y_ref, out_ref):
     for j in range(_BLK):  # static unroll; hat stays VMEM-resident
         y = jnp.clip(y_ref[j, :], 0.0, M - 1.0)            # (S,)
         hat = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - rows))  # (S, M)
-        out_ref[j, :] = jax.lax.dot_general(
-            hat, col_ref[j, :][:, None],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)[:, 0]
+        # Pure-VPU multiply+reduce: the hat row has <=2 nonzeros, so the
+        # f32 lane reduction adds exact zeros and equals the bilinear
+        # formula exactly. A (S, M) @ (M, 1) HIGHEST matvec here wasted
+        # the MXU (N=1) and measured ~7x slower in-program.
+        out_ref[j, :] = jnp.sum(hat * col_ref[j, :][None, :], axis=1)
 
 
 @jax.jit

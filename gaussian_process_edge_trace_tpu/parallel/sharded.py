@@ -53,11 +53,12 @@ def make_batch_data(cfg: TracerConfig, grad_imgs, inits) -> TracerData:
     (shared) config and stay unbatched."""
     grad_imgs = jnp.asarray(grad_imgs)
     inits = jnp.asarray(inits)
-    g, gkde, ix, iy = jax.vmap(
+    g, gkde, gcols, ix, iy = jax.vmap(
         lambda gr, i: frame_arrays(cfg, gr, i))(grad_imgs, inits)
     L_unit, x_grid = prior_factor(cfg)
-    return TracerData(grad_img=g, grad_kde=gkde, L_prior_unit=L_unit,
-                      x_grid=x_grid, init_x=ix, init_y=iy)
+    return TracerData(grad_img=g, grad_kde=gkde, grad_cols=gcols,
+                      L_prior_unit=L_unit, x_grid=x_grid, init_x=ix,
+                      init_y=iy)
 
 
 def make_batch_state(cfg: TracerConfig, n_frames: int,
@@ -115,8 +116,8 @@ def sharded_trace_batch(cfg: TracerConfig, data: TracerData,
     frame_sharded = P(DATA_AXIS)
     data_specs = TracerData(
         grad_img=frame_sharded, grad_kde=frame_sharded,
-        L_prior_unit=P(), x_grid=P(), init_x=frame_sharded,
-        init_y=frame_sharded)
+        grad_cols=frame_sharded, L_prior_unit=P(), x_grid=P(),
+        init_x=frame_sharded, init_y=frame_sharded)
     state_specs = jax.tree.map(lambda _: frame_sharded, states0)
     out_specs = TraceResult(
         *([frame_sharded] * len(TraceResult._fields)))
@@ -137,15 +138,15 @@ def sharded_trace_batch(cfg: TracerConfig, data: TracerData,
 def _trace_local(cfg, data_local, states_local, n_sample_shards,
                  sample_axis=None):
     """vmap complete traces over this device's local frames."""
-    def one(grad, gkde, ix, iy, state):
-        d = TracerData(grad_img=grad, grad_kde=gkde,
+    def one(grad, gkde, gcols, ix, iy, state):
+        d = TracerData(grad_img=grad, grad_kde=gkde, grad_cols=gcols,
                        L_prior_unit=data_local.L_prior_unit,
                        x_grid=data_local.x_grid, init_x=ix, init_y=iy)
         return _sharded_single_trace(cfg, d, state, n_sample_shards,
                                      sample_axis)
-    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
-        data_local.grad_img, data_local.grad_kde, data_local.init_x,
-        data_local.init_y, states_local)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))(
+        data_local.grad_img, data_local.grad_kde, data_local.grad_cols,
+        data_local.init_x, data_local.init_y, states_local)
 
 
 def trace_batch_vmap(cfg: TracerConfig, data: TracerData,

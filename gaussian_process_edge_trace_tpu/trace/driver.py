@@ -58,7 +58,6 @@ from gaussian_process_edge_trace_tpu.models.gpr import (
     masked_mean, masked_std)
 from gaussian_process_edge_trace_tpu.models.kernels import (
     KernelSpec, resolve_kernel_options)
-from gaussian_process_edge_trace_tpu.models.lbfgs import minimize_lbfgs_b
 from gaussian_process_edge_trace_tpu.trace.kde import curve_kde, gradient_kde
 from gaussian_process_edge_trace_tpu.trace.scoring import (
     best_curves, curve_costs)
@@ -103,6 +102,9 @@ class TracerData(NamedTuple):
     """Per-(config, image) device arrays, computed once."""
     grad_img: jnp.ndarray      # (M, N) normalised gradient image
     grad_kde: jnp.ndarray      # (M, N) gradient KDE (gpet.py:127)
+    grad_cols: jnp.ndarray     # (E, M) grad_img.T sliced to the x-grid —
+    #                            loop-invariant interp operand (2.5 ms/call
+    #                            vs 0.33 ms if re-materialised per iter)
     L_prior_unit: jnp.ndarray  # (N, N) unit prior Cholesky over all columns
     x_grid: jnp.ndarray        # (E,) int32 output columns
     init_x: jnp.ndarray        # (n_inits,) int32
@@ -201,13 +203,16 @@ def make_config(init, grad_img_shape, kernel_options=(1, 3, 3), noise_y=1,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def frame_arrays(cfg: TracerConfig, grad_img, init_xy):
     """Per-frame arrays (gpet.py:97,127): normalised gradient image,
-    gradient KDE, sorted init points. vmap-able over a frame batch."""
+    gradient KDE, interp column matrix, sorted init points. vmap-able over
+    a frame batch."""
     g = normalise(grad_img, (0, 1), jnp.float32)
     gkde = gradient_kde(g, kde_thresh=cfg.kde_thresh)
+    gcols = jax.lax.dynamic_slice(
+        g.T, (cfg.x_st, 0), (cfg.edge_length, cfg.M))
     init_xy = jnp.asarray(init_xy, jnp.int32)
     order = jnp.argsort(init_xy[:, 0])
     init_xy = init_xy[order]
-    return g, gkde, init_xy[:, 0], init_xy[:, 1]
+    return g, gkde, gcols, init_xy[:, 0], init_xy[:, 1]
 
 
 @functools.lru_cache(maxsize=16)
@@ -234,10 +239,11 @@ def prior_factor(cfg: TracerConfig):
 
 def make_data(cfg: TracerConfig, grad_img, init_xy) -> TracerData:
     """Precompute the per-image device arrays (gpet.py:97,122-127)."""
-    g, gkde, ix, iy = frame_arrays(cfg, grad_img, init_xy)
+    g, gkde, gcols, ix, iy = frame_arrays(cfg, grad_img, init_xy)
     L_unit, x_grid = prior_factor(cfg)
-    return TracerData(grad_img=g, grad_kde=gkde, L_prior_unit=L_unit,
-                      x_grid=x_grid, init_x=ix, init_y=iy)
+    return TracerData(grad_img=g, grad_kde=gkde, grad_cols=gcols,
+                      L_prior_unit=L_unit, x_grid=x_grid, init_x=ix,
+                      init_y=iy)
 
 
 def init_state(cfg: TracerConfig, user_obs_xy=None,
@@ -345,7 +351,7 @@ def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState,
                             n_samples=s_local, sample_offset=off)
 
     costs = curve_costs(data.grad_img, data.x_grid, samples,
-                        kde_thresh=cfg.kde_thresh)
+                        kde_thresh=cfg.kde_thresh, cols=data.grad_cols)
 
     if sample_axis is None:
         bc, bcosts = best_curves(samples, costs, cfg.N_keep)
@@ -400,6 +406,38 @@ def _final_fit(cfg: TracerConfig, data: TracerData, key, state: TraceState):
     return _final_fit_buffers(cfg, data, key, x, y, mask, noise_w)
 
 
+def optimize_lml(kernel: KernelSpec, xs, ys, mask, noise_w, starts, lb, ub,
+                 jitter=1e-6, n_polish=8, polish_iters=6):
+    """Maximise the LML over θ = (log c, log ℓ, log σn²) within [lb, ub].
+
+    The reference runs scipy L-BFGS-B to convergence from all 13 starts
+    (sklearn_gpr.py:266-288); every objective evaluation here is a
+    latency-bound Gram+Cholesky chain, so sequential depth is traded for
+    width: ONE batched screen of the 13 starts ∪ a static grid over the
+    box (global search), then a short damped-Newton polish of the
+    ``n_polish`` best (:mod:`..models.newton`) — 2 batched objective units
+    per iteration. Matches converged scipy from the same starts with zero
+    optimum gaps across random configs (tests/test_gpr.py property test;
+    the earlier 4×8 L-BFGS polish left gaps up to 2 LML units).
+    Returns ``(theta, lml)``.
+    """
+    from gaussian_process_edge_trace_tpu.models.newton import (
+        lml_screen_grid, screen_and_polish)
+
+    def neg_lml(theta):
+        # pd_guard=False: screen_and_polish sanitises NaN values/grads
+        # itself, so the probe Cholesky would be pure latency here.
+        return -log_marginal_likelihood(kernel, xs, ys, mask, theta,
+                                        noise_w, jitter=jitter,
+                                        pd_guard=False)
+
+    allstarts = jnp.concatenate(
+        [starts, lml_screen_grid(lb, ub, starts.dtype)])
+    res = screen_and_polish(neg_lml, allstarts, lb, ub,
+                            n_polish=n_polish, iters=polish_iters)
+    return res.x, -res.f
+
+
 def _final_fit_buffers(cfg: TracerConfig, data: TracerData, key, x, y, mask,
                        noise_w):
     """:func:`_final_fit` body on explicit padded training buffers (also
@@ -421,34 +459,8 @@ def _final_fit_buffers(cfg: TracerConfig, data: TracerData, key, x, y, mask,
         key, (cfg.lml_restarts, 3), jnp.float32) * (ub - lb) + lb
     starts = jnp.concatenate([theta0[None], restarts], axis=0)
 
-    def neg_lml(theta):
-        return -log_marginal_likelihood(cfg.kernel, xs, ys, mask, theta,
-                                        noise_w, jitter=cfg.gp_jitter)
-
-    obj = jax.value_and_grad(neg_lml)
-
-    # Pre-screen all restarts with ONE batched evaluation and polish only
-    # the most promising few: L-BFGS cost is sequential-depth-bound on
-    # TPU (each step is a Gram+Cholesky+solve chain), so depth × width is
-    # traded for one wide screen + a short polish. The reference instead
-    # runs scipy to convergence from all 13 starts (sklearn_gpr.py:266-288)
-    # — same optimum in practice, the LML surface here is 3-dimensional.
-    f0s = jax.vmap(lambda t: obj(t)[0])(starts)
-    n_polish = min(4, starts.shape[0])
-    _, top = jax.lax.top_k(-jnp.where(jnp.isfinite(f0s), f0s, jnp.inf),
-                           n_polish)
-    # 8 iterations at 1e-5 projected-gradient tolerance: from screened
-    # starts the 3-dim LML optimum is reached within a handful of steps
-    # (validated: 6/8/16 iterations give identical optima on the demo
-    # config; the reference itself removed optimiser convergence checks,
-    # sklearn_gpr.py:596-599).
-    solve = functools.partial(minimize_lbfgs_b, obj, lb=lb, ub=ub,
-                              max_iters=8, tol=1e-5)
-    results = jax.vmap(solve)(starts[top])
-    ibest = jnp.argmin(jnp.where(jnp.isfinite(results.f), results.f,
-                                 jnp.inf))
-    theta = results.x[ibest]
-    lml = -results.f[ibest]
+    theta, lml = optimize_lml(cfg.kernel, xs, ys, mask, noise_w, starts,
+                              lb, ub, jitter=cfg.gp_jitter)
 
     c = jnp.exp(theta[0])
     ls = jnp.exp(theta[1])
@@ -502,7 +514,8 @@ def finish_trace(cfg: TracerConfig, data: TracerData,
     edge_trace = jnp.stack(
         [jnp.rint(y_mean).astype(jnp.int32), data.x_grid], axis=1)
     final_cost = curve_costs(data.grad_img, data.x_grid, y_mean[:, None],
-                             kde_thresh=cfg.kde_thresh)[0]
+                             kde_thresh=cfg.kde_thresh,
+                             cols=data.grad_cols)[0]
     return TraceResult(
         edge_trace=edge_trace, y_mean=y_mean, y_std=y_std,
         cred_interval=cred, cred_interval_px=cred_px, n_iters=state.it,

@@ -40,13 +40,19 @@ from gaussian_process_edge_trace_tpu.ops.pallas_interp import column_interp
 
 
 @functools.partial(jax.jit, static_argnames=("kde_thresh",))
-def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3):
+def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
+                cols=None):
     """Costs of all sampled curves.
 
     Args:
       grad_img: (M, N) normalised gradient image.
       x_grid: (E,) integer grid columns (sorted, contiguous).
       y_samples: (E, S) posterior curves.
+      cols: optional precomputed (E, M) per-column pixel values
+        (``grad_img.T`` sliced to the x-grid). Pass the loop-invariant
+        ``TracerData.grad_cols`` inside the trace loop — re-materialising
+        the transpose as a Pallas operand every iteration measured 2.5 ms
+        per call on v5e vs 0.33 ms with a resident operand.
 
     Returns:
       (S,) costs (lower = better).
@@ -55,10 +61,11 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3):
     M, N = grad_img.shape
     dtype = y_samples.dtype
 
-    # Gradient values along every curve: slice the E contiguous columns
-    # (no gather) and run the batched per-column interpolation kernel.
-    cols = jax.lax.dynamic_slice(
-        grad_img.T, (x_grid[0], jnp.zeros((), x_grid.dtype)), (E, M))
+    if cols is None:
+        # Gradient values along every curve: slice the E contiguous
+        # columns (no gather).
+        cols = jax.lax.dynamic_slice(
+            grad_img.T, (x_grid[0], jnp.zeros((), x_grid.dtype)), (E, M))
     grad_score = column_interp(cols, y_samples).astype(dtype) + kde_thresh
 
     dy = jnp.diff(y_samples, axis=0)                  # (E-1, S)

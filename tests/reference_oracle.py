@@ -140,7 +140,13 @@ def oracle_select(kde_arr, grad_kde, pre_fobs_xy, score_thresh, x_st, x_en,
     n_pix = n_pre
     i = 0
     thresh = float(score_thresh)
-    best = None
+    # One unconditional pass so best/bins/uniq are defined even when the
+    # decay loop never runs (upstream latent NameError, ADVICE round 1).
+    mask = scores >= thresh
+    best = pixels[mask]
+    best_scores = scores[mask]
+    bins = np.round((best[:, 1] - x_st) / delta_x).astype(int)
+    uniq = np.unique(bins)
     while (n_pix - n_pre < pixel_thresh) and (n_pix < algo_thresh):
         if i > 0:
             thresh *= 0.95
