@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter",))
@@ -170,3 +171,187 @@ def shannon_entropy(image, base=2):
     p = hist / jnp.sum(hist)
     p = jnp.where(p > 0, p, 1.0)
     return -jnp.sum(p * jnp.log(p)) / jnp.log(base)
+
+
+# ---------------------------------------------------------------------------
+# Wavelet denoising (the reference's 'wavelet' technique,
+# gpet_utils.py:138 -> skimage.restoration.denoise_wavelet). Native Haar
+# (db1, skimage's default wavelet) multi-level DWT with BayesShrink soft
+# thresholding and the standard MAD noise estimate — the same
+# algorithm-in-kind; bit parity with pywt is not claimed (scikit-image is
+# not installed here to compare against, PARITY.md).
+# ---------------------------------------------------------------------------
+
+_SQRT2 = 2.0 ** 0.5
+
+
+def _haar_fwd_axis(x, axis):
+    n = x.shape[axis]
+    if n % 2 == 1:                       # symmetric extension of odd axes
+        edge = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+        x = jnp.concatenate([x, edge], axis=axis)
+    a = jax.lax.slice_in_dim(x, 0, None, stride=2, axis=axis)
+    b = jax.lax.slice_in_dim(x, 1, None, stride=2, axis=axis)
+    return (a + b) / _SQRT2, (a - b) / _SQRT2
+
+
+def _haar_inv_axis(lo, hi, n, axis):
+    a = (lo + hi) / _SQRT2
+    b = (lo - hi) / _SQRT2
+    out = jnp.stack([a, b], axis=axis + 1)
+    shape = list(lo.shape)
+    shape[axis] *= 2
+    out = out.reshape(shape)
+    return jax.lax.slice_in_dim(out, 0, n, axis=axis)
+
+
+def haar_dwt2(x):
+    """One 2-D Haar analysis level: returns (LL, (LH, HL, HH), shape)."""
+    shape = x.shape
+    lo, hi = _haar_fwd_axis(x, 0)
+    ll, lh = _haar_fwd_axis(lo, 1)
+    hl, hh = _haar_fwd_axis(hi, 1)
+    return ll, (lh, hl, hh), shape
+
+
+def haar_idwt2(ll, details, shape):
+    lh, hl, hh = details
+    lo = _haar_inv_axis(ll, lh, shape[1], 1)
+    hi = _haar_inv_axis(hl, hh, shape[1], 1)
+    return _haar_inv_axis(lo, hi, shape[0], 0)
+
+
+def estimate_sigma(image):
+    """Noise std via MAD of the finest diagonal detail (Donoho-Johnstone;
+    skimage.restoration.estimate_sigma semantics for 2-D input)."""
+    _, (_, _, hh), _ = haar_dwt2(jnp.asarray(image))
+    return jnp.median(jnp.abs(hh)) / 0.67448975019608171
+
+
+def _soft(x, t):
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
+
+
+def _bayes_thresh(detail, sigma2):
+    """BayesShrink per-subband threshold t = sigma^2 / sigma_x (Chang et
+    al. 2000, as in skimage's _bayes_thresh)."""
+    dvar = jnp.mean(detail * detail)
+    sig_x = jnp.sqrt(jnp.maximum(dvar - sigma2, 1e-12))
+    t = sigma2 / sig_x
+    # if the subband variance is all noise, kill the whole subband
+    return jnp.where(dvar <= sigma2, jnp.max(jnp.abs(detail)) + 1.0, t)
+
+
+def denoise_wavelet(image, sigma=None, wavelet="db1", mode="soft",
+                    wavelet_levels=None, method="BayesShrink"):
+    """Wavelet denoising (gpet_utils.py:138). Native Haar/BayesShrink.
+
+    Supported surface: ``wavelet='db1'`` (the skimage default),
+    ``mode`` 'soft'/'hard', ``method`` 'BayesShrink' (per-subband
+    adaptive) or 'VisuShrink' (universal threshold). ``wavelet_levels``
+    defaults to skimage's ``max_level - 3`` (floor 1).
+    """
+    if wavelet not in ("db1", "haar"):
+        raise NotImplementedError(
+            "native denoise_wavelet supports wavelet='db1'/'haar' only")
+    x = jnp.asarray(image, jnp.float32)
+    max_level = int(np.floor(np.log2(min(x.shape))))
+    if wavelet_levels is None:
+        wavelet_levels = max(max_level - 3, 1)
+    wavelet_levels = min(wavelet_levels, max_level)
+
+    ll = x
+    pyramid = []
+    for _ in range(wavelet_levels):
+        ll, details, shape = haar_dwt2(ll)
+        pyramid.append((details, shape))
+
+    sigma2 = (estimate_sigma(x) if sigma is None
+              else jnp.asarray(sigma, jnp.float32)) ** 2
+
+    for lvl in range(wavelet_levels - 1, -1, -1):
+        details, shape = pyramid[lvl]
+        new = []
+        for d in details:
+            if method == "BayesShrink":
+                t = _bayes_thresh(d, sigma2)
+            elif method == "VisuShrink":
+                t = jnp.sqrt(sigma2) * jnp.sqrt(2.0 * np.log(x.size))
+            else:
+                raise NotImplementedError(method)
+            new.append(_soft(d, t) if mode == "soft"
+                       else jnp.where(jnp.abs(d) > t, d, 0.0))
+        ll = haar_idwt2(ll, tuple(new), shape)
+    return ll
+
+
+# ---------------------------------------------------------------------------
+# TV-Bregman (the reference's 'tvb' technique, gpet_utils.py:140 ->
+# skimage.restoration.denoise_tv_bregman). Split-Bregman iteration for
+# the (an)isotropic ROF model  min_u  weight/2 ||u-f||^2 + TV(u)
+# (Goldstein & Osher 2009) — same model and weight semantics as skimage
+# (larger weight = closer to the input); the inner solver differs
+# (damped-Jacobi sweeps instead of Gauss-Seidel), documented in PARITY.md.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_num_iter", "isotropic"))
+def denoise_tv_bregman(image, weight=5.0, max_num_iter=100, eps=1e-3,
+                       isotropic=True):
+    f = jnp.asarray(image, jnp.float32)
+    mu = 2.0 * jnp.asarray(weight, jnp.float32)  # split penalty
+    w = jnp.asarray(weight, jnp.float32)
+
+    def grad(u):
+        gx = jnp.diff(u, axis=1, append=u[:, -1:])
+        gy = jnp.diff(u, axis=0, append=u[-1:, :])
+        return gx, gy
+
+    def div(px, py):
+        dx = jnp.concatenate([px[:, :1], px[:, 1:-1] - px[:, :-2],
+                              -px[:, -2:-1]], axis=1)
+        dy = jnp.concatenate([py[:1, :], py[1:-1, :] - py[:-2, :],
+                              -py[-2:-1, :]], axis=0)
+        return dx + dy
+
+    def shrink(gx, gy):
+        if isotropic:
+            mag = jnp.sqrt(gx * gx + gy * gy)
+            scale = jnp.maximum(mag - 1.0 / mu, 0.0) / jnp.maximum(mag,
+                                                                   1e-12)
+            return gx * scale, gy * scale
+        return _soft(gx, 1.0 / mu), _soft(gy, 1.0 / mu)
+
+    def laplace_jacobi(u, rhs, n_sweeps=4):
+        # (w - mu*Lap) u = rhs, damped Jacobi with 4-neighbour stencil.
+        def sweep(_, u):
+            nb = (jnp.pad(u, ((0, 0), (1, 0)), mode="edge")[:, :-1]
+                  + jnp.pad(u, ((0, 0), (0, 1)), mode="edge")[:, 1:]
+                  + jnp.pad(u, ((1, 0), (0, 0)), mode="edge")[:-1, :]
+                  + jnp.pad(u, ((0, 1), (0, 0)), mode="edge")[1:, :])
+            return (rhs + mu * nb) / (w + 4.0 * mu)
+        return jax.lax.fori_loop(0, n_sweeps, sweep, u)
+
+    def body(state):
+        u, dx, dy, bx, by, k, err = state
+        # (w - mu*Lap) u = w f + mu div(b - d): Goldstein-Osher u-update,
+        # whose lambda*grad^T(d - b) term is -div(d - b).
+        rhs = w * f + mu * div(bx - dx, by - dy)
+        u_new = laplace_jacobi(u, rhs)
+        gx, gy = grad(u_new)
+        dx_new, dy_new = shrink(gx + bx, gy + by)
+        bx_new = bx + gx - dx_new
+        by_new = by + gy - dy_new
+        err = jnp.sqrt(jnp.mean((u_new - u) ** 2)) / jnp.maximum(
+            jnp.sqrt(jnp.mean(u_new * u_new)), 1e-12)
+        return u_new, dx_new, dy_new, bx_new, by_new, k + 1, err
+
+    def cond(state):
+        *_, k, err = state
+        return (k < max_num_iter) & (err > eps)
+
+    z = jnp.zeros_like(f)
+    state = (f, z, z, z, z, jnp.asarray(0, jnp.int32),
+             jnp.asarray(jnp.inf, jnp.float32))
+    u, *_ = jax.lax.while_loop(cond, body, state)
+    return u

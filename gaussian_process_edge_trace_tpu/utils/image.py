@@ -146,11 +146,12 @@ def _gaussian_filter_1d(size_sigma):
 def denoise(image, technique, kwargs, plot=False, verbose=False):
     """Denoise ``image``; dispatch over techniques (gpet_utils.py:122-158).
 
-    TPU-native implementations are provided for ``gaussian``, ``median`` and
-    ``minimum`` (separable conv / reduce-window on device). The
-    wavelet/NL-means/TV variants from the reference depend on scikit-image,
-    which is intentionally not a dependency; they fall back to scipy/skimage
-    if importable on the host, else raise.
+    All seven of the reference's techniques run natively on device:
+    ``gaussian``/``median``/``minimum`` (separable conv / reduce-window),
+    ``tvc`` (Chambolle projection), ``nl`` (non-local means via shifted
+    box sums), ``wavelet`` (Haar DWT + BayesShrink/VisuShrink), and
+    ``tvb`` (split-Bregman TV) — scikit-image is not required (PARITY.md
+    documents the in-kind equivalences for wavelet/tvb).
     """
     image = jnp.asarray(image, dtype=jnp.float32)
     out = _denoise_dispatch(image, technique, kwargs)
@@ -174,7 +175,10 @@ _PAD_MODES = {"reflect": "symmetric", "nearest": "edge", "mirror": "reflect",
 
 
 def _denoise_dispatch(image, technique, kwargs):
-    pad_mode = _PAD_MODES[kwargs.get("mode", "reflect")]
+    if technique in ("gaussian", "median", "minimum"):
+        # scipy.ndimage filters interpret 'mode' as a boundary mode; for
+        # 'wavelet' it is the soft/hard thresholding switch instead.
+        pad_mode = _PAD_MODES[kwargs.get("mode", "reflect")]
     if technique == "gaussian":
         sigma = float(kwargs.get("sigma", 1.0))
         radius = int(kwargs.get("radius", int(4.0 * sigma + 0.5)))
@@ -213,17 +217,14 @@ def _denoise_dispatch(image, technique, kwargs):
         from gaussian_process_edge_trace_tpu.utils.denoise_native import (
             denoise_nl_means)
         return denoise_nl_means(image, **kwargs)
-    elif technique in ("wavelet", "tvb"):
-        try:  # pragma: no cover - optional host dependency
-            from skimage import restoration as rest
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError(
-                f"denoise technique '{technique}' requires scikit-image, "
-                "which is not installed; use 'gaussian'/'median'/"
-                "'minimum'/'tvc'/'nl'.") from exc
-        fn = {"wavelet": rest.denoise_wavelet,
-              "tvb": rest.denoise_tv_bregman}[technique]
-        return jnp.asarray(fn(np.asarray(image), **kwargs))
+    elif technique == "wavelet":
+        from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+            denoise_wavelet)
+        return denoise_wavelet(image, **kwargs)
+    elif technique == "tvb":
+        from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+            denoise_tv_bregman)
+        return denoise_tv_bregman(image, **kwargs)
     else:
         print("Denoising technique not implemented.")
         return None

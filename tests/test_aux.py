@@ -108,3 +108,42 @@ def test_chunked_binning_matches_single_block():
         pk._CHUNK_ELEMS = old
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_checkpoint_with_config_and_fingerprint(tmp_path):
+    """save_checkpoint persists the full TracerConfig + data fingerprint;
+    load_checkpoint reconstructs the config exactly and refuses a
+    mismatched config or different image data (VERDICT r1 #8)."""
+    import pytest
+    from gaussian_process_edge_trace_tpu.trace.checkpoint import (
+        load_checkpoint, save_checkpoint)
+    from gaussian_process_edge_trace_tpu.trace.driver import make_data
+
+    cfg, data, _ = _setup()
+    state, _ = trace_step(cfg, data, init_state(cfg))
+    p = tmp_path / "ckpt.npz"
+    save_checkpoint(p, cfg, state, data=data)
+
+    cfg_loaded, state_loaded = load_checkpoint(p, expect_cfg=cfg, data=data)
+    assert cfg_loaded == cfg           # exact reconstruction, jit-reusable
+    for f in state._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(state, f)),
+                                      np.asarray(getattr(state_loaded, f)))
+    # Resuming with the reconstructed config hits the same compiled
+    # program and finishes identically.
+    full = run_trace(cfg, data, init_state(cfg))
+    resumed = resume_trace(cfg_loaded, data, state_loaded)
+    np.testing.assert_array_equal(np.asarray(resumed.edge_trace),
+                                  np.asarray(full.edge_trace))
+
+    # Mismatched config refused.
+    with pytest.raises(ValueError, match="config mismatch"):
+        load_checkpoint(p, expect_cfg=cfg._replace(N_samples=999))
+    # Mismatched data refused.
+    import jax.numpy as jnp
+    # (note: a pure rescale would min-max-normalise back to the same
+    # image — square it so the normalised image genuinely differs)
+    other = make_data(cfg, jnp.asarray(np.asarray(data.grad_img) ** 2),
+                      jnp.stack([data.init_x, data.init_y], axis=1))
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        load_checkpoint(p, data=other)
