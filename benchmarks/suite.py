@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -81,10 +82,18 @@ def main():
     data = make_data(cfg, grad, jnp.asarray(init))
     ms = _sync_median(run_trace, cfg, data, init_state(cfg))
     res = run_trace(cfg, data, init_state(cfg))
+    from benchmarks.flops import device_peak_flops, trace_flops
+
+    def _mfu(cfg_, res_, ms_):
+        fl = trace_flops(cfg_, int(res_.n_iters))["total"]
+        return {"gflops": round(fl / 1e9, 2),
+                "mfu": round(fl / (ms_ / 1e3) / device_peak_flops(), 5)}
+
     emit("1_demo_trace_500", ms,
          mse=float(gpt.trace_MSE(np.asarray(res.edge_trace), true_edge)),
          dice=float(gpt.trace_dicecoef(np.asarray(res.edge_trace),
-                                       true_edge)))
+                                       true_edge)),
+         **_mfu(cfg, res, ms))
 
     # ---- config 2: preprocessing sweep ------------------------------------
     for ksz in [(5, 3), (11, 5), (15, 7)]:
@@ -118,7 +127,7 @@ def main():
         r4 = run_trace(cfg4, data4, init_state(cfg4))
         emit(f"4_trace_1000_S{n_samples}", ms,
              mse=float(gpt.trace_MSE(np.asarray(r4.edge_trace), big_edge)),
-             iters=int(r4.n_iters))
+             iters=int(r4.n_iters), **_mfu(cfg4, r4, ms))
 
     # ---- config 5: warm-started frame sequence ----------------------------
     rngf = np.random.RandomState(0)
@@ -146,6 +155,29 @@ def main():
          iters=[int(r.n_iters) for r in seq],
          mse=[float(gpt.trace_MSE(np.asarray(r.edge_trace), base_edge))
               for r in seq])
+
+    # ---- config 6: sharded dp x sp row (virtual mesh subprocess) ----------
+    # Runs benchmarks/sharded_row.py in a clean subprocess so it can
+    # provision an 8-device CPU mesh (this process holds the TPU). Pins
+    # the sharded program's collective footprint from the compiled HLO.
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "benchmarks.sharded_row"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    emitted = False
+    for line in proc.stdout.splitlines():
+        try:
+            row = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        emitted = True
+    if not emitted:
+        log("sharded row failed:", proc.returncode, proc.stderr[-2000:])
 
     log("\nsummary:")
     for r in results:

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaussian_process_edge_trace_tpu.models.gpr import (
-    gp_fit, gp_predict, log_marginal_likelihood)
+    gp_fit, log_marginal_likelihood)
 from gaussian_process_edge_trace_tpu.models.kernels import (
     KernelSpec, cross_gram)
 from gaussian_process_edge_trace_tpu.models.lbfgs import minimize_lbfgs_b
@@ -190,10 +190,11 @@ class GaussianProcessRegressor:
         ``_y_train_std`` regardless (sklearn_gpr.py:385,401), which under
         normalize_y=True multiplies the centred posterior by a std that
         was never divided out. Faithfully reproduced, zero-std mapped to
-        1 (_handle_zeros_in_scale)."""
-        m = float(np.mean(y))
-        s = float(np.std(y))
-        s = 1.0 if s == 0.0 else s
+        1 (_handle_zeros_in_scale); per-column for 2-D targets
+        (sklearn_gpr.py:221-233 ``axis=0``)."""
+        m = np.mean(y, axis=0)
+        s = np.std(y, axis=0)
+        s = np.where(s == 0.0, 1.0, s)
         y_proc = (y - m) if self.normalize_y else (y - m) / s
         return y_proc, m, s
 
@@ -208,12 +209,18 @@ class GaussianProcessRegressor:
         import copy
         self._kernel_ = _normalise_kernel(copy.deepcopy(self.kernel))
         X = np.asarray(X, dtype=np.float64).reshape(-1)
-        y = np.asarray(y, dtype=np.float64).reshape(-1)
+        y = np.asarray(y, dtype=np.float64)
+        # Multi-output y (n, m): per-column posteriors sharing one Gram
+        # (sklearn's multi_output=True path, inherited by the fork,
+        # sklearn_gpr.py:211-218). 1-D when squeezed like the fork does.
+        self._n_targets = None if y.ndim == 1 else y.shape[1]
+        y2 = y.reshape(len(X), -1)
         n = X.shape[0]
         self.X_train_ = X
         self.y_train_ = y
         mask = jnp.ones((n,), bool)
-        y_proc, self._y_train_mean, self._y_train_std = self._y_transform(y)
+        y_proc, self._y_train_mean, self._y_train_std = self._y_transform(
+            y2)
 
         k = self._kernel_
         any_free = any(
@@ -225,9 +232,14 @@ class GaussianProcessRegressor:
             self._optimize_theta(X, y_proc, mask)
 
         spec, c, ls, _ = self._params()
-        self._state = gp_fit(spec, jnp.asarray(X), jnp.asarray(y_proc),
-                             ls, c, self._diag_noise(n), mask,
-                             centre=False)
+        # One Cholesky, per-column dual coefficients (Alg. 2.1 batched
+        # over targets, sklearn_gpr.py:304-320).
+        self._state = gp_fit(spec, jnp.asarray(X),
+                             jnp.asarray(y_proc[:, 0]), ls, c,
+                             self._diag_noise(n), mask, centre=False)
+        from jax.scipy.linalg import cho_solve
+        self._alpha_multi = cho_solve((self._state.L, True),
+                                      jnp.asarray(y_proc))   # (n, m)
         self.kernel_ = self._kernel_
         return self
 
@@ -248,14 +260,19 @@ class GaussianProcessRegressor:
                        for b, t in zip((b_c, b_l, b_n), theta0)])
 
         spec = k.signal.k2.spec
-        yc = jnp.asarray(y_proc)
+        yc = jnp.asarray(y_proc)            # (n, m)
         noise_w = self._noise_weight(len(y_proc))
         xj = jnp.asarray(X)
         alpha = self.alpha
 
         def neg(theta):
-            return -log_marginal_likelihood(spec, xj, yc, mask, theta,
-                                            noise_w, jitter=alpha)
+            # Multi-output LML = sum over target columns
+            # (sklearn_gpr.py:542-546 log_likelihood_dims.sum()).
+            cols = jax.vmap(
+                lambda ycol: log_marginal_likelihood(
+                    spec, xj, ycol, mask, theta, noise_w, jitter=alpha),
+                in_axes=1)(yc)
+            return -jnp.sum(cols)
 
         obj = jax.value_and_grad(neg)
         key = jax.random.PRNGKey(self.random_state)
@@ -294,43 +311,79 @@ class GaussianProcessRegressor:
             if return_std:
                 return mean, jnp.sqrt(jnp.full(X.shape[0], c))
             return mean
-        out = gp_predict(spec, self._state, jnp.asarray(X), ls, c,
-                         return_std=return_std, return_cov=return_cov)
-        # Undo the fork's normalisation (sklearn_gpr.py:385,401,428):
-        # mean rescaled by _y_train_std and recentred; cov/std by std².
+        # Per-column posterior means on the shared Cholesky; the fork's
+        # un-normalisation broadcasts _y_train_std per target and squeezes
+        # a trailing singleton target axis (sklearn_gpr.py:381-436).
+        from jax.scipy.linalg import solve_triangular
+        st = self._state
+        Kq = cross_gram(spec, jnp.asarray(X), st.x, ls, c)
+        mean_cols = Kq @ self._alpha_multi            # (nq, m)
         m, sd = self._y_train_mean, self._y_train_std
+        y_mean = sd * np.asarray(mean_cols) + m
+        if y_mean.shape[1] == 1:
+            y_mean = np.squeeze(y_mean, axis=1)
+        if not (return_std or return_cov):
+            return y_mean
+        V = solve_triangular(st.L, Kq.T, lower=True)
         if return_cov:
-            mean, cov = out
-            return sd * mean + m, sd * sd * cov
-        if return_std:
-            mean, std = out
-            return sd * mean + m, sd * std
-        return sd * out + m
+            base = np.asarray(
+                cross_gram(spec, jnp.asarray(X), jnp.asarray(X), ls, c)
+                - V.T @ V)
+            y_cov = base[:, :, None] * (sd ** 2)      # (nq, nq, m)
+            if y_cov.shape[2] == 1:
+                y_cov = np.squeeze(y_cov, axis=2)
+            return y_mean, y_cov
+        var = np.asarray(jnp.maximum(c - jnp.sum(V * V, axis=0), 0.0))
+        y_var = var[:, None] * (sd ** 2)              # (nq, m)
+        if y_var.shape[1] == 1:
+            y_var = np.squeeze(y_var, axis=1)
+        return y_mean, np.sqrt(y_var)
 
     def sample_y(self, X, n_samples=1, random_state=0):
         """Posterior draws at ``X``: mean + eigh-factor of the predictive
         covariance @ normal — the robust-PSD equivalent of the reference's
         SVD-based ``multivariate_normal`` (sklearn_gpr.py:460-473).
-        Returns (n_query, n_samples)."""
+        Returns (n_query, n_samples), or (n_query, n_targets, n_samples)
+        for multi-output fits (sklearn_gpr.py:454-473)."""
         mean, cov = self.predict(X, return_cov=True)
-        w, V = jnp.linalg.eigh(cov)
-        F = V * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
-        z = jax.random.normal(jax.random.PRNGKey(int(random_state)),
-                              (cov.shape[0], int(n_samples)), mean.dtype)
-        return mean[:, None] + F @ z
+        mean = jnp.asarray(mean)
+        cov = jnp.asarray(cov)
+        key = jax.random.PRNGKey(int(random_state))
+
+        def draw(mu, C, k):
+            w, V = jnp.linalg.eigh(C)
+            F = V * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
+            z = jax.random.normal(k, (C.shape[0], int(n_samples)),
+                                  mu.dtype)
+            return mu[:, None] + F @ z
+
+        if mean.ndim == 1:
+            return draw(mean, cov, key)
+        # One independent stream per target, like the reference's
+        # per-target multivariate_normal loop (sklearn_gpr.py:466-472).
+        cols = [draw(mean[:, t], cov[..., t], jax.random.fold_in(key, t))
+                for t in range(mean.shape[1])]
+        return jnp.stack(cols, axis=1)      # (nq, n_targets, n_samples)
 
     def score(self, X, y):
-        """Coefficient of determination R² (sklearn RegressorMixin.score,
-        inherited by the reference regressor)."""
-        y = np.asarray(y, dtype=np.float64).reshape(-1)
-        pred = np.asarray(self.predict(X))
-        u = np.sum((y - pred) ** 2)
-        v = np.sum((y - y.mean()) ** 2)
-        if v == 0.0:
-            # Constant targets: R² ill-defined; sklearn returns 1 for a
-            # perfect constant prediction, else 0.
-            return 1.0 if u == 0.0 else 0.0
-        return 1.0 - u / v
+        """Coefficient of determination R² (sklearn RegressorMixin.score;
+        multi-output = uniform average over target columns)."""
+        y = np.asarray(y, dtype=np.float64)
+        pred = np.asarray(self.predict(X)).reshape(y.shape)
+        y2 = y.reshape(len(y), -1)
+        p2 = pred.reshape(len(y), -1)
+
+        def r2(yc, pc):
+            u = np.sum((yc - pc) ** 2)
+            v = np.sum((yc - yc.mean()) ** 2)
+            if v == 0.0:
+                # Constant targets: R² ill-defined; sklearn returns 1 for
+                # a perfect constant prediction, else 0.
+                return 1.0 if u == 0.0 else 0.0
+            return 1.0 - u / v
+
+        return float(np.mean([r2(y2[:, t], p2[:, t])
+                              for t in range(y2.shape[1])]))
 
     def log_marginal_likelihood(self, theta=None, eval_gradient=False):
         spec, c, ls, nz = self._params()
@@ -339,12 +392,20 @@ class GaussianProcessRegressor:
         else:
             theta = jnp.asarray(theta)
         n = self.X_train_.shape[0]
-        y_proc, _, _ = self._y_transform(self.y_train_)
+        y_proc, _, _ = self._y_transform(
+            np.asarray(self.y_train_).reshape(n, -1))
         yc = jnp.asarray(y_proc)
         mask = jnp.ones((n,), bool)
-        fn = functools.partial(
-            log_marginal_likelihood, spec, jnp.asarray(self.X_train_), yc,
-            mask, noise_weight=self._noise_weight(n), jitter=self.alpha)
+
+        def fn(t):
+            # Sum over target columns (sklearn_gpr.py:542-546).
+            cols = jax.vmap(
+                lambda ycol: log_marginal_likelihood(
+                    spec, jnp.asarray(self.X_train_), ycol, mask, t,
+                    noise_weight=self._noise_weight(n),
+                    jitter=self.alpha), in_axes=1)(yc)
+            return jnp.sum(cols)
+
         if eval_gradient:
             val, grad = jax.value_and_grad(fn)(theta)
             return float(val), np.asarray(grad)

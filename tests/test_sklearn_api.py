@@ -156,3 +156,62 @@ def test_score_r2():
     gp = GaussianProcessRegressor(kernel=k, alpha=1e-8,
                                   optimizer=None).fit(X, y)
     assert gp.score(X, y) > 0.98
+
+
+def test_multi_output_matches_sklearn():
+    """2-D y support (sklearn_gpr.py:211-218 multi_output=True): per-column
+    posteriors on a shared Cholesky, summed LML, per-column rescale,
+    (nq, m, S) samples. Compared against installed sklearn (our
+    normalize_y=False standardise-then-undo == stock normalize_y=True)."""
+    import numpy as np
+    from sklearn.gaussian_process import GaussianProcessRegressor as SkGPR
+    from sklearn.gaussian_process.kernels import RBF as SkRBF
+    from sklearn.gaussian_process.kernels import ConstantKernel as SkC
+
+    from gaussian_process_edge_trace_tpu.models.sklearn_api import (
+        RBF, ConstantKernel, GaussianProcessRegressor)
+
+    rng = np.random.default_rng(0)
+    X = np.sort(rng.uniform(0, 10, 17))
+    Y = np.stack([np.sin(X) + 5.0, np.cos(X) * 3.0 - 2.0,
+                  0.3 * X], axis=1)                      # (n, 3)
+    Xq = np.linspace(-1, 11, 23)
+
+    ours = GaussianProcessRegressor(
+        kernel=ConstantKernel(2.0, "fixed") * RBF(1.5, "fixed"),
+        alpha=1e-6, optimizer=None, normalize_y=False).fit(X, Y)
+    sk = SkGPR(kernel=SkC(2.0, "fixed") * SkRBF(1.5, "fixed"),
+               alpha=1e-6, optimizer=None,
+               normalize_y=True).fit(X[:, None], Y)
+
+    m_o, s_o = ours.predict(Xq, return_std=True)
+    m_s, s_s = sk.predict(Xq[:, None], return_std=True)
+    assert m_o.shape == (23, 3) and s_o.shape == (23, 3)
+    np.testing.assert_allclose(m_o, m_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s_o, s_s, rtol=1e-4, atol=1e-5)
+
+    _, c_o = ours.predict(Xq, return_cov=True)
+    _, c_s = sk.predict(Xq[:, None], return_cov=True)
+    assert c_o.shape == c_s.shape == (23, 23, 3)
+    np.testing.assert_allclose(c_o, c_s, rtol=1e-4, atol=1e-6)
+
+    # Summed-over-columns LML vs sklearn (fixed kernels: compare the
+    # stored fit-time value; our jitter alpha equals sklearn's alpha).
+    lml_o = ours.log_marginal_likelihood(np.log([2.0, 1.5, 1e-300]))
+    lml_sk = sk.log_marginal_likelihood()
+    np.testing.assert_allclose(lml_o, lml_sk, rtol=1e-5)
+
+    # Samples: multi-output shape + mean sanity.
+    s = np.asarray(ours.sample_y(Xq, n_samples=4000, random_state=1))
+    assert s.shape == (23, 3, 4000)
+    np.testing.assert_allclose(s.mean(axis=-1), m_o, atol=0.25)
+
+    # (n, 1) targets squeeze like the fork (sklearn_gpr.py:388-390).
+    ours1 = GaussianProcessRegressor(
+        kernel=ConstantKernel(2.0, "fixed") * RBF(1.5, "fixed"),
+        alpha=1e-6, optimizer=None).fit(X, Y[:, :1])
+    m1 = ours1.predict(Xq)
+    assert m1.shape == (23,)
+
+    # R2 close to 1 on the training set.
+    assert ours.score(X, Y) > 0.99
