@@ -80,6 +80,70 @@ def _column_interp_pallas(cols, ys):
     return out[:E, :S]
 
 
+_H = 16  # two-level inner block size (hi = i0 // 16, lo = i0 - 16*hi)
+
+
+def _interp_kernel_2l(col2d_ref, y_ref, out_ref):
+    # col2d_ref: (BLK, _H+1, L) overlapped row blocks; y/out: (BLK, S).
+    # Two-level decomposition on the VPU: a (L, S) one-hot selects each
+    # sample's 17-row block (2 passes over L*(17)*S elements), then a
+    # 17-tap hat interpolates inside it — ~2.5x fewer elementwise ops
+    # than the direct (S, M) hat at M=500. Bitwise-identical output:
+    # ylo = y - 16*hi is exact in f32 (the subtrahend is an integer below
+    # the mantissa range), and every reduction adds exact zeros.
+    L = col2d_ref.shape[2]
+    S = y_ref.shape[1]
+    M_cap = L * _H
+    hs = jax.lax.broadcasted_iota(jnp.int32, (L, S), 0)
+    ts = jax.lax.broadcasted_iota(jnp.int32, (_H + 1, S), 0).astype(
+        jnp.float32)
+    for j in range(_BLK):
+        y = jnp.clip(y_ref[j, :], 0.0, M_cap - 1.0)
+        hi = jnp.floor(y).astype(jnp.int32) // _H
+        ylo = y - (hi * _H).astype(jnp.float32)           # exact
+        onehot = (hs == hi[None, :]).astype(jnp.float32)  # (L, S)
+        c2 = col2d_ref[j]                                 # (17, L)
+        tmp = jnp.sum(c2[:, :, None] * onehot[None, :, :],
+                      axis=1)                             # (17, S)
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(ylo[None, :] - ts))
+        out_ref[j, :] = jnp.sum(hat * tmp, axis=0)
+
+
+@jax.jit
+def _column_interp_pallas_2l(cols, ys):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, M = cols.shape
+    _, S = ys.shape
+    L = (M + _H - 1) // _H
+    Mp = L * _H + 1                     # +1 row of overlap padding
+    E_pad = ((E + _BLK - 1) // _BLK) * _BLK
+    colsp = jnp.pad(cols.astype(jnp.float32),
+                    ((0, E_pad - E), (0, Mp - M)))
+    # col2d[e, t, h] = colsp[e, h*_H + t] (overlapped so i0+1 never
+    # crosses a block boundary); loop-invariant, built once per call.
+    col2d = jnp.stack([colsp[:, t:t + (L - 1) * _H + 1:_H]
+                       for t in range(_H + 1)], axis=1)   # (E_pad, 17, L)
+    ysp = jnp.pad(ys.astype(jnp.float32), ((0, E_pad - E), (0, 0)))
+    # The kernel clamps to L*_H-1; clamp to the true M-1 first.
+    ysp = jnp.clip(ysp, 0.0, M - 1.0)
+    out = pl.pallas_call(
+        _interp_kernel_2l,
+        grid=(E_pad // _BLK,),
+        in_specs=[
+            pl.BlockSpec((_BLK, _H + 1, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLK, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E_pad, S), jnp.float32),
+    )(col2d, ysp)
+    return out[:E, :S]
+
+
 @jax.jit
 def _column_interp_gather(cols, ys):
     E, M = cols.shape
@@ -91,16 +155,20 @@ def _column_interp_gather(cols, ys):
     return v0 + fr * (v1 - v0)
 
 
-def column_interp(cols, ys):
+def column_interp(cols, ys, two_level=True):
     """Linear interpolation of ``cols[e, :]`` at rows ``ys[e, :]``.
 
     Args:
       cols: (E, M) per-column pixel values (i.e. ``grad_img.T`` rows).
       ys: (E, S) real-valued row coordinates (clamped to [0, M-1]).
+      two_level: on TPU, use the two-level VPU kernel (bitwise-identical
+        to the direct hat kernel; fewer elementwise ops at M >= ~64).
 
     Returns:
       (E, S) interpolated values, float32 on TPU / input dtype elsewhere.
     """
     if jax.default_backend() == "tpu":
+        if two_level and cols.shape[1] >= 4 * _H:
+            return _column_interp_pallas_2l(cols, ys).astype(ys.dtype)
         return _column_interp_pallas(cols, ys).astype(ys.dtype)
     return _column_interp_gather(cols, ys)
