@@ -53,6 +53,26 @@ def k_unit(spec: KernelSpec, d):
     raise NotImplementedError(spec.kind)
 
 
+def dk_unit_dlog_ls(spec: KernelSpec, d):
+    """∂k_unit/∂log ℓ expressed through the scaled distance d = r/ℓ.
+
+    Used by the analytic LML gradient (sklearn_gpr.py:548-580 semantics,
+    without autodiff — the batched Pallas-Cholesky fit path cannot be
+    differentiated through). d(d)/d(log ℓ) = −d, so this is −d·k'(d).
+    """
+    if spec.kind == "RBF":
+        return d * d * jnp.exp(-0.5 * d * d)
+    if spec.kind == "Matern":
+        if spec.nu == 1.5:
+            s = SQRT3 * d
+            return s * s * jnp.exp(-s)
+        if spec.nu == 2.5:
+            s = SQRT5 * d
+            return (s * s / 3.0) * (1.0 + s) * jnp.exp(-s)
+        raise NotImplementedError(spec.nu)
+    raise NotImplementedError(spec.kind)
+
+
 def k_unit_np(spec: KernelSpec, d):
     """NumPy mirror of :func:`k_unit` for host-side precomputation."""
     import numpy as np

@@ -1,0 +1,168 @@
+"""Batched small-matrix Cholesky + triangular solves, batch-on-lanes.
+
+XLA's TPU ``cholesky``/``triangular_solve`` custom calls process a batch
+SEQUENTIALLY (measured ~12 µs per 104×104 f32 factorisation regardless of
+batch: 163 LML screen evaluations = 1.9 ms of pure Cholesky). The
+hyperparameter-fit path evaluates hundreds of tiny independent Grams, so
+these kernels put the BATCH on the VPU lane dimension instead: one grid
+program factorises up to 128 matrices simultaneously with (n, n, 128)
+vectorised rank-1 updates.
+
+Layout contract: arrays are carried as (n, m, B) inside the kernels
+(batch minor = lanes); the public wrappers accept/return the natural
+(B, n, m), let XLA insert the transposes, and chunk the batch in 128-lane
+pieces with the input aliased to the output (a (104, 104, 128) f32 block
+is 5.3 MB — in+out+scratch must stay inside the 16 MB VMEM).
+
+Numerics: plain right-looking Cholesky in f32, no pivoting — the same
+algorithm class as LAPACK potrf; parity with ``jnp.linalg.cholesky`` is
+pinned in tests (associativity differs, bitwise equality is not
+expected). Non-PD inputs produce NaNs from the sqrt of a negative Schur
+complement, exactly like XLA's cholesky — callers keep their existing
+NaN-guard semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_B_BLK = 128   # batch lanes per kernel invocation (1 lane group)
+
+
+def _chol_kernel_body(a_ref, n: int):
+    # a_ref: (n, n, B), input aliased to output — factor in place.
+    # Right-looking Cholesky, batch on lanes: every step's
+    # sqrt/divide/rank-1 update runs on all B matrices at once.
+    #
+    # K is symmetric, so "column k" is read as ROW k (dynamic indexing is
+    # only needed on the leading dim, which Mosaic supports), and the
+    # finished L column is likewise written as row k — the buffer ends up
+    # holding Lᵀ, which the wrapper untransposes. The below-diagonal mask
+    # makes the full-matrix outer-product update touch only the trailing
+    # block (Pallas has no scatter) and leaves finished rows intact.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def step(k, _):
+        row = a_ref[k]                                    # (n, B)
+        # Diagonal element via masked reduce (no dynamic value slicing
+        # in Mosaic).
+        d = jnp.sqrt(jnp.sum(jnp.where(rows == k, row, 0.0), axis=0,
+                             keepdims=True))              # (1, B)
+        sub = jnp.where(rows > k, row / d, 0.0)           # (n, B)
+        a_ref[...] = a_ref[...] - sub[:, None, :] * sub[None, :, :]
+        a_ref[k] = sub + jnp.where(rows == k, d, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n, step, 0)
+    # Clear the strictly-"upper" (here: below-row-diagonal stale) part.
+    upper = (jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+             > jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1))
+    a_ref[...] = jnp.where(upper, 0.0, a_ref[...])
+
+
+def _fwd_solve_kernel_body(l_ref, z_ref, n: int):
+    # Solve L Z = RHS in place (rhs aliased to z_ref).
+    for i in range(n):
+        acc = z_ref[i, :, :]
+        if i > 0:
+            # Σ_{j<i} L[i, j] * Z[j] — finished rows read back from the
+            # output ref (read-after-write within the kernel).
+            acc = acc - jnp.sum(l_ref[i, :i, :][:, None, :]
+                                * z_ref[:i, :, :], axis=0)
+        z_ref[i, :, :] = acc / l_ref[i, i, :][None, :]
+
+
+def _bwd_solve_kernel_body(l_ref, z_ref, n: int):
+    # Solve Lᵀ Z = RHS in place.
+    for i in range(n - 1, -1, -1):
+        acc = z_ref[i, :, :]
+        if i < n - 1:
+            # Σ_{j>i} L[j, i] * Z[j]
+            acc = acc - jnp.sum(l_ref[i + 1:, i, :][:, None, :]
+                                * z_ref[i + 1:, :, :], axis=0)
+        z_ref[i, :, :] = acc / l_ref[i, i, :][None, :]
+
+
+def _chunk_call(kernel, operands, aliased_idx, out_shape):
+    """One gridless pallas_call with ``operands[aliased_idx]`` aliased to
+    the single output (keeps one VMEM copy of the big block). Interpret
+    mode off-TPU so the CPU test suite exercises the same code path."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
+                  for _ in operands],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        input_output_aliases={aliased_idx: 0},
+        interpret=jax.default_backend() != "tpu",
+    )(*operands)
+
+
+def _chunks(B):
+    out = []
+    s = 0
+    while s < B:
+        out.append((s, min(_B_BLK, B - s)))
+        s += _B_BLK
+    return out
+
+
+def batched_cholesky(K):
+    """Lower Cholesky of a (B, n, n) PD batch, batch-on-lanes kernel."""
+    B, n, _ = K.shape
+    dt = K.dtype
+    Kt = jnp.transpose(K, (1, 2, 0))                          # (n, n, B)
+
+    def kern(k_ref, o_ref):
+        _chol_kernel_body(o_ref, n)
+
+    outs = []
+    for s, w in _chunks(B):
+        blk = jax.lax.slice_in_dim(Kt, s, s + w, axis=2)
+        outs.append(_chunk_call(
+            kern, [blk], 0,
+            jax.ShapeDtypeStruct((n, n, w), dt)))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+    # Buffer holds Lᵀ in (row-of-Lᵀ = col-of-L, ·, B) layout.
+    return jnp.transpose(out, (2, 1, 0))
+
+
+def _batched_solve(L, RHS, lower_fwd: bool):
+    B, n, m = RHS.shape
+    dt = RHS.dtype
+    Lt = jnp.transpose(L.astype(dt), (1, 2, 0))
+    Rt = jnp.transpose(RHS, (1, 2, 0))
+    body = (_fwd_solve_kernel_body if lower_fwd
+            else _bwd_solve_kernel_body)
+
+    def kern(l_ref, r_ref, z_ref):
+        body(l_ref, z_ref, n)
+
+    outs = []
+    for s, w in _chunks(B):
+        lb = jax.lax.slice_in_dim(Lt, s, s + w, axis=2)
+        rb = jax.lax.slice_in_dim(Rt, s, s + w, axis=2)
+        outs.append(_chunk_call(
+            kern, [lb, rb], 1,
+            jax.ShapeDtypeStruct((n, m, w), dt)))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+    return jnp.transpose(out, (2, 0, 1))
+
+
+@jax.jit
+def batched_forward_solve(L, RHS):
+    """Solve ``L Z = RHS`` for a (B, n, n) lower batch, RHS (B, n, m)."""
+    return _batched_solve(L, RHS, True)
+
+
+@jax.jit
+def batched_backward_solve(L, RHS):
+    """Solve ``Lᵀ Z = RHS`` for a (B, n, n) lower batch, RHS (B, n, m)."""
+    return _batched_solve(L, RHS, False)
+
+
+batched_cholesky = jax.jit(batched_cholesky)

@@ -407,7 +407,8 @@ def _final_fit(cfg: TracerConfig, data: TracerData, key, state: TraceState):
 
 
 def optimize_lml(kernel: KernelSpec, xs, ys, mask, noise_w, starts, lb, ub,
-                 jitter=1e-6, n_polish=8, polish_iters=6):
+                 jitter=1e-6, n_polish=8, polish_iters=6,
+                 use_batched=None):
     """Maximise the LML over θ = (log c, log ℓ, log σn²) within [lb, ub].
 
     The reference runs scipy L-BFGS-B to convergence from all 13 starts
@@ -419,10 +420,37 @@ def optimize_lml(kernel: KernelSpec, xs, ys, mask, noise_w, starts, lb, ub,
     per iteration. Matches converged scipy from the same starts with zero
     optimum gaps across random configs (tests/test_gpr.py property test;
     the earlier 4×8 L-BFGS polish left gaps up to 2 LML units).
+
+    ``use_batched`` (default: auto = TPU backend) routes every objective
+    batch through :func:`..models.gpr.batched_lml` — Pallas batch-on-lanes
+    Cholesky with the reference's analytic trace-formula gradients and an
+    FD Hessian — because XLA's own batched cholesky factors a batch
+    SEQUENTIALLY (~12 µs each; the 163-point screen alone cost 1.9 ms).
     Returns ``(theta, lml)``.
     """
     from gaussian_process_edge_trace_tpu.models.newton import (
-        lml_screen_grid, screen_and_polish)
+        lml_screen_grid, screen_and_polish, screen_and_polish_batched)
+
+    allstarts = jnp.concatenate(
+        [starts, lml_screen_grid(lb, ub, starts.dtype)])
+    if use_batched is None:
+        use_batched = jax.default_backend() == "tpu"
+    if use_batched:
+        from gaussian_process_edge_trace_tpu.models.gpr import batched_lml
+
+        def values_fn(th):
+            return -batched_lml(kernel, xs, ys, mask, th, noise_w,
+                                jitter=jitter)
+
+        def vg_fn(th):
+            v, g = batched_lml(kernel, xs, ys, mask, th, noise_w,
+                               jitter=jitter, with_grad=True)
+            return -v, -g
+
+        res = screen_and_polish_batched(values_fn, vg_fn, allstarts, lb,
+                                        ub, n_polish=n_polish,
+                                        iters=polish_iters)
+        return res.x, -res.f
 
     def neg_lml(theta):
         # pd_guard=False: screen_and_polish sanitises NaN values/grads
@@ -431,8 +459,6 @@ def optimize_lml(kernel: KernelSpec, xs, ys, mask, noise_w, starts, lb, ub,
                                         noise_w, jitter=jitter,
                                         pd_guard=False)
 
-    allstarts = jnp.concatenate(
-        [starts, lml_screen_grid(lb, ub, starts.dtype)])
     res = screen_and_polish(neg_lml, allstarts, lb, ub,
                             n_polish=n_polish, iters=polish_iters)
     return res.x, -res.f

@@ -78,3 +78,33 @@ def test_bilinear_extrapolation_matches_spline():
     expected = spline(rows, cols, grid=False)
     got = np.asarray(bilinear_interp(img, rows, cols))
     np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_batched_cholesky_and_solves_match_jnp():
+    """Pallas batch-on-lanes Cholesky/solves vs jnp oracles (interpret
+    mode on CPU — same code path the TPU compiles)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_process_edge_trace_tpu.ops.pallas_chol import (
+        batched_backward_solve, batched_cholesky, batched_forward_solve)
+
+    rng = np.random.default_rng(0)
+    B, n, m = 5, 24, 7
+    A = rng.normal(size=(B, n, n))
+    K = jnp.asarray(A @ np.transpose(A, (0, 2, 1)) + n * np.eye(n))
+    L = batched_cholesky(K)
+    Lr = jnp.linalg.cholesky(K)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lr),
+                               rtol=1e-6, atol=1e-8)
+    rhs = jnp.asarray(rng.normal(size=(B, n, m)))
+    np.testing.assert_allclose(
+        np.asarray(batched_forward_solve(L, rhs)),
+        np.asarray(jax.scipy.linalg.solve_triangular(Lr, rhs, lower=True)),
+        rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(batched_backward_solve(L, rhs)),
+        np.asarray(jax.scipy.linalg.solve_triangular(
+            jnp.transpose(Lr, (0, 2, 1)), rhs, lower=False)),
+        rtol=1e-6, atol=1e-8)
