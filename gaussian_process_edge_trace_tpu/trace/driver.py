@@ -434,7 +434,11 @@ def optimize_lml(kernel: KernelSpec, xs, ys, mask, noise_w, starts, lb, ub,
     allstarts = jnp.concatenate(
         [starts, lml_screen_grid(lb, ub, starts.dtype)])
     if use_batched is None:
-        use_batched = jax.default_backend() == "tpu"
+        # A (n, n, 128-lane) block must fit VMEM alongside its pipeline
+        # copy: n <= ~160 covers every tracer config up to ~800-wide
+        # images; larger problems fall back to the XLA path.
+        use_batched = (jax.default_backend() == "tpu"
+                       and xs.shape[0] <= 160)
     if use_batched:
         from gaussian_process_edge_trace_tpu.models.gpr import batched_lml
 
