@@ -40,7 +40,15 @@ def main():
 
     import jax
 
-    if len(jax.devices()) < n_data * n_sample:
+    if os.environ.get("_GPET_EXAMPLE_CHILD") == "1":
+        # Some environments pin a platform via sitecustomize; re-point the
+        # config before the backend initialises (same as tests/conftest).
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        n_dev = len(jax.devices())
+    except RuntimeError:
+        n_dev = 0
+    if n_dev < n_data * n_sample:
         # Too late to grow the current backend — re-exec with the env set.
         if os.environ.get("_GPET_EXAMPLE_CHILD") != "1":
             provision(n_data * n_sample)

@@ -125,21 +125,27 @@ def _column_interp_pallas_2l(cols, ys):
     # crosses a block boundary); loop-invariant, built once per call.
     col2d = jnp.stack([colsp[:, t:t + (L - 1) * _H + 1:_H]
                        for t in range(_H + 1)], axis=1)   # (E_pad, 17, L)
-    ysp = jnp.pad(ys.astype(jnp.float32), ((0, E_pad - E), (0, 0)))
+    # Block the sample axis: the kernel's (17, L, s_blk) mul-reduce
+    # intermediate must stay inside VMEM (43 MB unblocked at S=10⁴).
+    s_blk = min(S, max(1, (1 << 22) // (4 * (_H + 1) * L)))  # ≤ ~4 MB
+    s_blk = max(128, (s_blk // 128) * 128) if S >= 128 else S
+    S_pad = ((S + s_blk - 1) // s_blk) * s_blk
+    ysp = jnp.pad(ys.astype(jnp.float32),
+                  ((0, E_pad - E), (0, S_pad - S)))
     # The kernel clamps to L*_H-1; clamp to the true M-1 first.
     ysp = jnp.clip(ysp, 0.0, M - 1.0)
     out = pl.pallas_call(
         _interp_kernel_2l,
-        grid=(E_pad // _BLK,),
+        grid=(E_pad // _BLK, S_pad // s_blk),
         in_specs=[
-            pl.BlockSpec((_BLK, _H + 1, L), lambda i: (i, 0, 0),
+            pl.BlockSpec((_BLK, _H + 1, L), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLK, S), lambda i: (i, 0),
+            pl.BlockSpec((_BLK, s_blk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BLK, S), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_BLK, s_blk), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((E_pad, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E_pad, S_pad), jnp.float32),
     )(col2d, ysp)
     return out[:E, :S]
 
