@@ -61,3 +61,48 @@ def test_e2e_parity_with_cpu_reference(parity_setup):
     assert tpu_mse < max(4.0 * ref_mse, 25.0), (ref_mse, tpu_mse)
     # Iteration counts in the same regime (both ~O(10)).
     assert abs(int(res.n_iters) - ref_iters) <= 6
+
+
+@pytest.mark.parametrize("ltype", ["sinusoidal", "multi-sinusoidal",
+                                   "close multi-sinusoidal",
+                                   "co-sinusoidal", "diag", "straight"])
+def test_all_edge_families_trace(ltype):
+    """Every synthetic edge family the reference generates
+    (gpet_utils.py:197-235) traces to convergence with sane accuracy."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import gaussian_process_edge_trace_tpu as gpt
+    from gaussian_process_edge_trace_tpu.trace.driver import (
+        init_state, make_config, make_data, run_trace)
+
+    img, edge = gpt.construct_test_img(
+        (128, 128), 30, 2, 0.02, ltype, 0.3, gaps=False)
+    grad = np.asarray(gpt.comp_grad_img(img, gpt.kernel_builder((7, 3))))
+    N = 128
+    init = np.array([[0, edge[0, 0]], [N - 1, edge[N - 1, 0]]])
+    kernel = ({"kernel": "RBF", "sigma_f": 30, "length_scale": 10}
+              if ltype != "close multi-sinusoidal"
+              else {"kernel": "Matern", "nu": 1.5, "sigma_f": 30,
+                    "length_scale": 6})
+    cfg = make_config(init, grad.shape, kernel_options=kernel,
+                      noise_y=1, N_samples=256, score_thresh=0.5,
+                      delta_x=6, keep_ratio=0.1, pixel_thresh=4, seed=1,
+                      fix_endpoints=True)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    res = run_trace(cfg, data, init_state(cfg))
+    assert bool(res.converged), ltype
+    mse = float(gpt.trace_MSE(np.asarray(res.edge_trace), edge[:N]))
+    # Family-dependent difficulty; the bound is a sanity gate, the tight
+    # accuracy gate lives on the demo config.
+    assert mse < 60.0, (ltype, mse)
+
+
+def test_gpet_utils_alias_surface():
+    """Every public function of the reference's gpet_utils module exists
+    on the alias (gpet_utils.py:10-366)."""
+    from gaussian_process_edge_trace_tpu import gpet_utils
+    for f in ["kernel_builder", "normalise", "comp_grad_img", "denoise",
+              "construct_test_img", "trace_MSE", "trace_relarea",
+              "trace_dicecoef", "plot_results"]:
+        assert hasattr(gpet_utils, f), f
