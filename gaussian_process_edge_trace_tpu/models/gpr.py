@@ -311,7 +311,7 @@ def batched_lml(spec: KernelSpec, x, yc, mask, thetas, noise_weight,
       thetas: (B, 3). Returns (B,) values, or (values, (B, 3) grads).
     """
     from gaussian_process_edge_trace_tpu.ops.pallas_chol import (
-        batched_cholesky, batched_backward_solve, batched_forward_solve)
+        backward_solve_auto, cholesky_auto, forward_solve_auto)
     from gaussian_process_edge_trace_tpu.models.kernels import (
         dk_unit_dlog_ls, k_unit)
 
@@ -341,8 +341,8 @@ def batched_lml(spec: KernelSpec, x, yc, mask, thetas, noise_weight,
                         + diag_vals[:, None, :]
                         + jnp.where(mask, 0.0, 1.0)[None, None, :]))
 
-    L = batched_cholesky(K)
-    w1 = batched_forward_solve(L, jnp.broadcast_to(
+    L = cholesky_auto(K)
+    w1 = forward_solve_auto(L, jnp.broadcast_to(
         yc[None, :, None], (B, n, 1)))                     # (B, n, 1)
     quad = jnp.sum(w1[..., 0] ** 2, axis=1)
     diagL = jnp.diagonal(L, axis1=1, axis2=2)
@@ -353,9 +353,9 @@ def batched_lml(spec: KernelSpec, x, yc, mask, thetas, noise_weight,
     if not with_grad:
         return vals
 
-    alpha = batched_backward_solve(L, w1)[..., 0]          # (B, n)
+    alpha = backward_solve_auto(L, w1)[..., 0]             # (B, n)
     alpha = jnp.where(mask[None, :], alpha, 0.0)
-    Linv = batched_forward_solve(
+    Linv = forward_solve_auto(
         L, jnp.broadcast_to(eye[None], (B, n, n)))         # (B, n, n)
     # K⁻¹ = L⁻ᵀ L⁻¹ — batched matmul (MXU-efficient, unlike cholesky).
     Kinv = jnp.einsum("bki,bkj->bij", Linv, Linv,

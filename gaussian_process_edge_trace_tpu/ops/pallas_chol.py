@@ -166,3 +166,98 @@ def batched_backward_solve(L, RHS):
 
 
 batched_cholesky = jax.jit(batched_cholesky)
+
+
+# ---------------------------------------------------------------------------
+# Blocked variants: the in-VMEM kernels cap at n ~ 160 per 128-lane block
+# ((n, n, 128) f32 must fit VMEM). For larger n, orchestrate a standard
+# blocked right-looking factorisation in XLA — panel Choleskys and panel
+# triangular solves via the Pallas kernels, trailing updates as batched
+# MXU matmuls (which XLA batches efficiently, unlike its cholesky).
+# ---------------------------------------------------------------------------
+
+_PANEL = 128          # panel width (panel blocks fit VMEM at 128 lanes)
+_DIRECT_N = 160       # largest n the unblocked kernels handle
+
+
+def _hi(x):
+    return jax.lax.Precision.HIGHEST
+
+
+def cholesky_auto(K):
+    """Batched lower Cholesky for any n: direct kernel when the block
+    fits VMEM, blocked panels otherwise."""
+    n = K.shape[1]
+    if n <= _DIRECT_N:
+        return batched_cholesky(K)
+    return _cholesky_blocked(K)
+
+
+def _cholesky_blocked(K):
+    B, n, _ = K.shape
+    p = _PANEL
+    panels = [min(p, n - s) for s in range(0, n, p)]
+    L = jnp.zeros_like(K)
+    off = 0
+    for w in panels:
+        # Schur-updated diagonal block.
+        Lrow = jax.lax.slice(L, (0, off, 0), (B, off + w, off))  # (B,w,off)
+        D = (jax.lax.slice(K, (0, off, off), (B, off + w, off + w))
+             - jnp.einsum("bik,bjk->bij", Lrow, Lrow, precision=_hi(0)))
+        Lkk = batched_cholesky(D)
+        L = jax.lax.dynamic_update_slice(L, Lkk, (0, off, off))
+        rem = n - off - w
+        if rem > 0:
+            Lbelow = jax.lax.slice(L, (0, off + w, 0), (B, n, off))
+            R = (jax.lax.slice(K, (0, off + w, off), (B, n, off + w))
+                 - jnp.einsum("bik,bjk->bij", Lbelow, Lrow,
+                              precision=_hi(0)))          # (B, rem, w)
+            # Solve X Lkkᵀ = R  ⇔  Lkk Xᵀ = Rᵀ.
+            Xt = batched_forward_solve(Lkk, jnp.swapaxes(R, 1, 2))
+            L = jax.lax.dynamic_update_slice(
+                L, jnp.swapaxes(Xt, 1, 2), (0, off + w, off))
+        off += w
+    return L
+
+
+def forward_solve_auto(L, RHS):
+    """Blocked-capable ``L Z = RHS`` (see :func:`cholesky_auto`)."""
+    n = RHS.shape[1]
+    if n <= _DIRECT_N:
+        return batched_forward_solve(L, RHS)
+    B, _, m = RHS.shape
+    p = _PANEL
+    Z = jnp.zeros_like(RHS)
+    off = 0
+    while off < n:
+        w = min(p, n - off)
+        Lkk = jax.lax.slice(L, (0, off, off), (B, off + w, off + w))
+        Lrow = jax.lax.slice(L, (0, off, 0), (B, off + w, off))
+        Zprev = jax.lax.slice(Z, (0, 0, 0), (B, off, m))
+        R = (jax.lax.slice(RHS, (0, off, 0), (B, off + w, m))
+             - jnp.einsum("bij,bjm->bim", Lrow, Zprev, precision=_hi(0)))
+        Z = jax.lax.dynamic_update_slice(
+            Z, batched_forward_solve(Lkk, R), (0, off, 0))
+        off += w
+    return Z
+
+
+def backward_solve_auto(L, RHS):
+    """Blocked-capable ``Lᵀ Z = RHS``."""
+    n = RHS.shape[1]
+    if n <= _DIRECT_N:
+        return batched_backward_solve(L, RHS)
+    B, _, m = RHS.shape
+    p = _PANEL
+    Z = jnp.zeros_like(RHS)
+    offs = list(range(0, n, p))
+    for off in reversed(offs):
+        w = min(p, n - off)
+        Lkk = jax.lax.slice(L, (0, off, off), (B, off + w, off + w))
+        Lcol = jax.lax.slice(L, (0, off + w, off), (B, n, off + w))
+        Zbelow = jax.lax.slice(Z, (0, off + w, 0), (B, n, m))
+        R = (jax.lax.slice(RHS, (0, off, 0), (B, off + w, m))
+             - jnp.einsum("bji,bjm->bim", Lcol, Zbelow, precision=_hi(0)))
+        Z = jax.lax.dynamic_update_slice(
+            Z, batched_backward_solve(Lkk, R), (0, off, 0))
+    return Z

@@ -434,9 +434,12 @@ def optimize_lml(kernel: KernelSpec, xs, ys, mask, noise_w, starts, lb, ub,
     allstarts = jnp.concatenate(
         [starts, lml_screen_grid(lb, ub, starts.dtype)])
     if use_batched is None:
-        # A (n, n, 128-lane) block must fit VMEM alongside its pipeline
-        # copy: n <= ~160 covers every tracer config up to ~800-wide
-        # images; larger problems fall back to the XLA path.
+        # The batch-on-lanes kernels are a clear ~8x win while a whole
+        # (n, n, 128-lane) factor fits VMEM (n <= ~160, i.e. every config
+        # up to ~800-wide images). Above that the blocked panel variants
+        # still work (pallas_chol.cholesky_auto) but measured a wash vs
+        # XLA at n=208 (their solves are sequential-depth-bound), so big
+        # problems keep the XLA path.
         use_batched = (jax.default_backend() == "tpu"
                        and xs.shape[0] <= 160)
     if use_batched:

@@ -108,3 +108,35 @@ def test_batched_cholesky_and_solves_match_jnp():
         np.asarray(jax.scipy.linalg.solve_triangular(
             jnp.transpose(Lr, (0, 2, 1)), rhs, lower=False)),
         rtol=1e-6, atol=1e-8)
+
+
+def test_blocked_cholesky_and_solves_match_jnp(monkeypatch):
+    """Blocked panel variants (used above the in-VMEM size ceiling) vs
+    jnp oracles — panel size forced small so the CPU test exercises the
+    multi-panel path including an uneven final panel."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import gaussian_process_edge_trace_tpu.ops.pallas_chol as pc
+
+    monkeypatch.setattr(pc, "_DIRECT_N", 40)
+    monkeypatch.setattr(pc, "_PANEL", 24)
+    rng = np.random.default_rng(0)
+    B, n, m = 3, 100, 9
+    A = rng.normal(size=(B, n, n))
+    K = jnp.asarray(A @ np.transpose(A, (0, 2, 1)) + n * np.eye(n))
+    L = pc.cholesky_auto(K)
+    Lr = jnp.linalg.cholesky(K)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lr),
+                               rtol=1e-6, atol=1e-9)
+    rhs = jnp.asarray(rng.normal(size=(B, n, m)))
+    np.testing.assert_allclose(
+        np.asarray(pc.forward_solve_auto(L, rhs)),
+        np.asarray(jax.scipy.linalg.solve_triangular(Lr, rhs, lower=True)),
+        rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(pc.backward_solve_auto(L, rhs)),
+        np.asarray(jax.scipy.linalg.solve_triangular(
+            jnp.transpose(Lr, (0, 2, 1)), rhs, lower=False)),
+        rtol=1e-6, atol=1e-9)
