@@ -127,8 +127,10 @@ def _column_interp_pallas_2l(cols, ys):
                        for t in range(_H + 1)], axis=1)   # (E_pad, 17, L)
     # Block the sample axis: the kernel's (17, L, s_blk) mul-reduce
     # intermediate must stay inside VMEM (43 MB unblocked at S=10⁴).
-    s_blk = min(S, max(1, (1 << 22) // (4 * (_H + 1) * L)))  # ≤ ~4 MB
-    s_blk = max(128, (s_blk // 128) * 128) if S >= 128 else S
+    # Floor the BUDGET to lanes, then take S whole if it fits — the demo
+    # S=1000 must stay a single exact-width block.
+    budget = max(128, ((1 << 22) // (4 * (_H + 1) * L) // 128) * 128)
+    s_blk = min(S, budget)
     S_pad = ((S + s_blk - 1) // s_blk) * s_blk
     ysp = jnp.pad(ys.astype(jnp.float32),
                   ((0, E_pad - E), (0, S_pad - S)))
