@@ -110,8 +110,7 @@ def main():
         return jnp.sum(hat * cols[:, None, :], axis=-1)
 
     check("xla fused hat mul-reduce", xla_hat)
-
-    check("pallas 3d mul-reduce", pi._column_interp_pallas3d)
+    check("pallas two-level (current)", pi._column_interp_pallas_2l)
 
 
 if __name__ == "__main__":

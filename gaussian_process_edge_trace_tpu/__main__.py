@@ -7,6 +7,8 @@ trace one edge between two endpoints, write the result as ``.npz``.
 
 Subcommands:
   trace  — trace an edge in an image file
+  batch  — trace a batch of same-shaped images (vmapped; one compiled
+           executable), or a warm-started sequence with --sequence
   demo   — run the synthetic README demo end to end
 """
 
@@ -85,6 +87,74 @@ def cmd_trace(args):
         print(f"wrote {args.plot}", file=sys.stderr)
 
 
+def _grad_of(img, args, gpt):
+    if args.is_gradient:
+        return np.asarray(img)
+    kernel = gpt.kernel_builder(tuple(args.grad_kernel), unit=False)
+    return np.asarray(gpt.comp_grad_img(img, kernel))
+
+
+def cmd_batch(args):
+    """Trace every image matching the glob with ONE compiled executable
+    (frames vmapped), or as a warm-started sequence (--sequence: each
+    frame seeds the next frame's observations, gpet.py:57-61)."""
+    import glob as globmod
+    import os
+
+    import gaussian_process_edge_trace_tpu as gpt
+    from gaussian_process_edge_trace_tpu.parallel import (
+        make_batch_data, make_batch_state, trace_batch_vmap,
+        trace_sequence)
+    from gaussian_process_edge_trace_tpu.trace.driver import make_config
+
+    paths = sorted(globmod.glob(args.images))
+    if not paths:
+        raise SystemExit(f"no files match {args.images!r}")
+    grads = [np.asarray(_grad_of(_load_image(p), args, gpt),
+                        dtype=np.float32) for p in paths]
+    shapes = {g.shape for g in grads}
+    if len(shapes) != 1:
+        raise SystemExit(f"images must share one shape, got {shapes}")
+    grads = np.stack(grads)
+    init = np.asarray([_parse_xy(args.init[0]), _parse_xy(args.init[1])])
+    inits = np.broadcast_to(init, (len(paths),) + init.shape)
+
+    kernel_options = {"kernel": args.kernel, "sigma_f": args.sigma_f,
+                      "length_scale": args.length_scale}
+    if args.kernel == "Matern":
+        kernel_options["nu"] = args.nu
+    cfg = make_config(
+        init, grads.shape[1:], kernel_options=kernel_options,
+        noise_y=args.noise_y, N_samples=args.n_samples,
+        score_thresh=args.score_thresh, delta_x=args.delta_x,
+        keep_ratio=args.keep_ratio, pixel_thresh=args.pixel_thresh,
+        seed=args.seed, fix_endpoints=not args.free_endpoints)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    if args.sequence:
+        results = trace_sequence(cfg, grads, inits)
+        per_frame = [(np.asarray(r.edge_trace), int(r.n_iters),
+                      bool(r.converged)) for r in results]
+    else:
+        data = make_batch_data(cfg, grads, inits)
+        states = make_batch_state(cfg, len(paths))
+        res = trace_batch_vmap(cfg, data, states)
+        per_frame = [(np.asarray(res.edge_trace[f]), int(res.n_iters[f]),
+                      bool(res.converged[f])) for f in range(len(paths))]
+    dt = time.perf_counter() - t0
+
+    for p, (trace, n_it, conv) in zip(paths, per_frame):
+        out = os.path.join(
+            args.out_dir,
+            os.path.splitext(os.path.basename(p))[0] + "_trace.npz")
+        np.savez(out, edge_trace=trace)
+        print(json.dumps({"image": p, "out": out, "n_iters": n_it,
+                          "converged": conv}))
+    print(json.dumps({"frames": len(paths), "wall_s": round(dt, 3),
+                      "mode": "sequence" if args.sequence else "batch"}))
+
+
 def cmd_demo(args):
     raise SystemExit("use: python examples/demo.py (from the repo root)")
 
@@ -119,6 +189,33 @@ def main(argv=None):
     t.add_argument("--out", default="trace_result.npz")
     t.add_argument("--plot", default=None)
     t.set_defaults(fn=cmd_trace)
+
+    b = sub.add_parser(
+        "batch", help="trace a glob of same-shaped images (vmapped), or a "
+                      "warm-started sequence with --sequence")
+    b.add_argument("images", help="glob of .npy/image files, e.g. "
+                                  "'frames/*.npy' (quote it)")
+    b.add_argument("--init", nargs=2, required=True, metavar="X,Y",
+                   help="shared edge endpoints in xy")
+    b.add_argument("--sequence", action="store_true",
+                   help="warm-start each frame from the previous frame's "
+                        "accepted observations")
+    b.add_argument("--is-gradient", action="store_true")
+    b.add_argument("--grad-kernel", type=int, nargs=2, default=[11, 5])
+    b.add_argument("--kernel", choices=["RBF", "Matern"], default="RBF")
+    b.add_argument("--sigma-f", type=float, required=True)
+    b.add_argument("--length-scale", type=float, required=True)
+    b.add_argument("--nu", type=float, default=2.5)
+    b.add_argument("--noise-y", type=float, default=1.0)
+    b.add_argument("--n-samples", type=int, default=1000)
+    b.add_argument("--score-thresh", type=float, default=1.0)
+    b.add_argument("--delta-x", type=int, default=5)
+    b.add_argument("--keep-ratio", type=float, default=0.1)
+    b.add_argument("--pixel-thresh", type=int, default=5)
+    b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--free-endpoints", action="store_true")
+    b.add_argument("--out-dir", default="traces")
+    b.set_defaults(fn=cmd_batch)
 
     d = sub.add_parser("demo", help="pointer to examples/demo.py")
     d.set_defaults(fn=cmd_demo)
