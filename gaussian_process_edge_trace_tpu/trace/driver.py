@@ -480,6 +480,13 @@ def _final_fit_buffers(cfg: TracerConfig, data: TracerData, key, x, y, mask,
     yf = y.astype(jnp.float32)
     X_m, X_s = masked_mean(xf, mask), masked_std(xf, mask)
     y_m, y_s = masked_mean(yf, mask), masked_std(yf, mask)
+    # Zero-std guard (degenerate training sets, e.g. algo_thresh <= 0
+    # configs that skip the loop and fit only two equal-y endpoints):
+    # the reference's manual standardisation divides by np.std unguarded
+    # (gpet.py:237 — NaN there); map 0 -> 1 like sklearn's
+    # _handle_zeros_in_scale. PARITY.md documents the deviation.
+    X_s = jnp.where(X_s == 0.0, 1.0, X_s)
+    y_s = jnp.where(y_s == 0.0, 1.0, y_s)
     xs = jnp.where(mask, (xf - X_m) / X_s, 0.0)
     ys = jnp.where(mask, (yf - y_m) / y_s, 0.0)
 

@@ -257,3 +257,46 @@ def test_unconverged_hits_max_iters():
     res = run_trace(cfg, data, init_state(cfg))
     assert int(res.n_iters) <= 4
     assert np.all(np.isfinite(np.asarray(res.y_mean)))
+
+
+def test_random_config_fuzz_no_nans():
+    """Fuzz: random (size, kernel, hyper, delta_x, keep_ratio, endpoints)
+    configs must produce finite outputs with contract-satisfying shapes —
+    no NaN escapes, no crash (the reference would raise or loop; here the
+    max_iters/max_decays guards bound everything)."""
+    rng = np.random.default_rng(0)
+    for trial in range(12):
+        M = int(rng.integers(40, 140))
+        N = int(rng.integers(40, 140))
+        amp = int(rng.integers(5, max(6, M // 3)))
+        ltype = rng.choice(["sinusoidal", "co-sinusoidal", "straight"])
+        img, edge = construct_test_img((M, N), amp, 2, 0.03, str(ltype),
+                                       0.3, gaps=bool(rng.integers(2)))
+        grad = np.asarray(comp_grad_img(img, kernel_builder((7, 3))))
+        init = np.array([[0, edge[0, 0]], [N - 1, edge[N - 1, 0]]])
+        kind = rng.choice(["RBF", "Matern"])
+        ko = {"kernel": str(kind), "sigma_f": float(rng.uniform(3, M)),
+              "length_scale": float(rng.uniform(2, N / 2))}
+        if kind == "Matern":
+            ko["nu"] = float(rng.choice([1.5, 2.5]))
+        cfg = make_config(
+            init, grad.shape, kernel_options=ko,
+            noise_y=float(rng.uniform(0.2, 3.0)),
+            N_samples=int(rng.integers(101, 300)),
+            score_thresh=float(rng.uniform(0.2, 1.0)),
+            delta_x=int(rng.integers(4, 14)),
+            keep_ratio=float(rng.uniform(0.05, 0.5)),
+            pixel_thresh=int(rng.integers(2, 6)),
+            seed=trial, fix_endpoints=bool(rng.integers(2)),
+            max_iters=24)
+        data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+        res = run_trace(cfg, data, init_state(cfg))
+        assert res.edge_trace.shape == (cfg.edge_length, 2), trial
+        assert np.all(np.isfinite(np.asarray(res.y_mean))), trial
+        assert np.all(np.isfinite(np.asarray(res.theta))), trial
+        tr = np.asarray(res.edge_trace)
+        assert np.all((tr[:, 0] >= -M) & (tr[:, 0] <= 2 * M)), trial
+        n_it = int(res.n_iters)
+        # algo_thresh <= 0 configs legitimately never loop (the
+        # reference's while-guard is immediately false too, gpet.py:829).
+        assert 0 <= n_it <= cfg.max_iters, trial
