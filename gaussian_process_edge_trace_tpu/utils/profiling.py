@@ -99,3 +99,55 @@ def sync_timer(fn, *args, n=10):
 
     base = med(ident, x)
     return max(med(fn, *args) - base, 0.0)
+
+
+def device_op_breakdown(fn, *args, top=20, log_dir=None):
+    """Per-op DEVICE-side time of one call to ``fn(*args)``.
+
+    Captures a ``jax.profiler`` trace and aggregates the device timeline
+    by op name — the ground truth for attributing cost inside a fused
+    program. Host-side wall timing through an async/tunneled runtime is
+    unreliable below ~5 ms (CLAUDE.md measurement gotcha); this is how
+    every round-2 optimisation target was found.
+
+    Returns a list of ``(total_ms, op_name)`` sorted descending; entry 0
+    is the whole jit program.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import shutil
+    import tempfile
+
+    import jax
+
+    own = log_dir is None
+    if own:
+        log_dir = tempfile.mkdtemp(prefix="gpet_prof_")
+    jax.block_until_ready(fn(*args))          # compile outside the trace
+    jax.profiler.start_trace(log_dir)
+    jax.block_until_ready(fn(*args))
+    jax.profiler.stop_trace()
+    files = glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz")
+    data = json.load(gzip.open(sorted(files)[-1]))
+    names = {e["pid"]: e["args"].get("name")
+             for e in data["traceEvents"]
+             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    def collect(device_only):
+        agg = collections.Counter()
+        for e in data["traceEvents"]:
+            pname = str(names.get(e.get("pid")))
+            dev = "TPU" in pname or "/device:" in pname
+            if e.get("ph") == "X" and "dur" in e and dev == device_only:
+                agg[e["name"]] += e["dur"]
+        return agg
+
+    agg = collect(True)
+    if not agg:
+        # CPU backend: no device timeline — fall back to the host one
+        # (approximate; includes runtime frames).
+        agg = collect(False)
+    if own:
+        shutil.rmtree(log_dir, ignore_errors=True)
+    return [(dur / 1e3, name) for name, dur in agg.most_common(top)]

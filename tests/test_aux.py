@@ -147,3 +147,14 @@ def test_checkpoint_with_config_and_fingerprint(tmp_path):
                       jnp.stack([data.init_x, data.init_y], axis=1))
     with pytest.raises(ValueError, match="fingerprint mismatch"):
         load_checkpoint(p, data=other)
+
+
+def test_device_op_breakdown_smoke():
+    import jax
+    import jax.numpy as jnp
+    from gaussian_process_edge_trace_tpu.utils.profiling import (
+        device_op_breakdown)
+
+    f = jax.jit(lambda x: jnp.sin(x) @ x.T)
+    rows = device_op_breakdown(f, jnp.ones((128, 128)), top=5)
+    assert rows and all(ms >= 0 for ms, _ in rows)
