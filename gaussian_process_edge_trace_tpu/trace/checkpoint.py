@@ -48,6 +48,8 @@ def cfg_from_json(s: str) -> TracerConfig:
     d = json.loads(s)
     kernel = KernelSpec(**d.pop("kernel"))
     bins = BinSpec(**d.pop("bins"))
+    # Fields added after a checkpoint was written default like the class.
+    d.setdefault("reference_quirks", True)
     return TracerConfig(kernel=kernel, bins=bins, **d)
 
 

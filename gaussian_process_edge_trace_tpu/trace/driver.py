@@ -96,6 +96,12 @@ class TracerConfig(NamedTuple):
     lml_restarts: int
     init_noise_weight: float  # 1e-7 if fix_endpoints else 0.5 (gpet.py:161)
     gp_jitter: float          # GPR alpha (gpet.py:155)
+    # True (default) reproduces the reference fork's posterior-rescale
+    # quirk (sampling rounds scale the centred posterior by std/(std+1),
+    # sklearn_gpr.py:227 vs :385,401) and its standardised-units credible
+    # interval (gpet.py:266). False gives the mathematically consistent
+    # posterior: unit post-scale and a pixel-unit 95% interval.
+    reference_quirks: bool = True
 
 
 class TracerData(NamedTuple):
@@ -157,7 +163,7 @@ def make_config(init, grad_img_shape, kernel_options=(1, 3, 3), noise_y=1,
                 n_user_obs=0, N_samples=500, score_thresh=1, delta_x=20,
                 keep_ratio=0.1, pixel_thresh=5, seed=42,
                 fix_endpoints=True, max_iters=48, max_decays=400,
-                lml_restarts=12) -> TracerConfig:
+                lml_restarts=12, reference_quirks=True) -> TracerConfig:
     """Build a :class:`TracerConfig` with the reference's clamping semantics
     (gpet.py:95-119). ``init`` is the (n, 2) xy-space endpoint array."""
     init = np.asarray(init)
@@ -197,7 +203,7 @@ def make_config(init, grad_img_shape, kernel_options=(1, 3, 3), noise_y=1,
         seed=int(seed), max_iters=int(max_iters),
         max_decays=int(max_decays), lml_restarts=int(lml_restarts),
         init_noise_weight=[0.5, 1e-7][int(bool(fix_endpoints))],
-        gp_jitter=1e-6)
+        gp_jitter=1e-6, reference_quirks=bool(reference_quirks))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -312,6 +318,8 @@ def _sample_round(cfg: TracerConfig, data: TracerData, x, y, mask, noise_w,
     # std to 1 (sklearn_gpr.py:223).
     s2 = std_raw / y_s
     post_scale = jnp.where(s2 == 0.0, 1.0, s2)
+    if not cfg.reference_quirks:
+        post_scale = 1.0          # mathematically consistent posterior
     samples = fit_and_sample(
         key, cfg.kernel, x.astype(jnp.float32), yf / y_s, cfg.sigma_l,
         variance, diag_noise, mask, data.L_prior_unit, x_idx=x,
@@ -546,11 +554,16 @@ def finish_trace(cfg: TracerConfig, data: TracerData,
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     key_final = jax.random.fold_in(key, 0)   # seed+N_iter analogue
-    y_mean, y_std, y_s, theta, lml = _final_fit(cfg, data, key_final, state)
+    y_mean, y_std_s, y_s, theta, lml = _final_fit(cfg, data, key_final,
+                                                  state)
 
+    # Reference quirk: the interval (and y_std) keep the standardised-y
+    # std (gpet.py:266). With reference_quirks=False both are pixel-unit.
+    y_std_px = y_s * y_std_s
+    y_std = y_std_s if cfg.reference_quirks else y_std_px
     cred = jnp.stack([y_mean - 1.96 * y_std, y_mean + 1.96 * y_std])
-    cred_px = jnp.stack([y_mean - 1.96 * y_s * y_std,
-                         y_mean + 1.96 * y_s * y_std])
+    cred_px = jnp.stack([y_mean - 1.96 * y_std_px,
+                         y_mean + 1.96 * y_std_px])
     edge_trace = jnp.stack(
         [jnp.rint(y_mean).astype(jnp.int32), data.x_grid], axis=1)
     final_cost = curve_costs(data.grad_img, data.x_grid, y_mean[:, None],

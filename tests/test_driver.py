@@ -300,3 +300,29 @@ def test_random_config_fuzz_no_nans():
         # algo_thresh <= 0 configs legitimately never loop (the
         # reference's while-guard is immediately false too, gpet.py:829).
         assert 0 <= n_it <= cfg.max_iters, trial
+
+
+def test_reference_quirks_off_gives_consistent_posterior():
+    """reference_quirks=False disables the fork's posterior-rescale quirk
+    (sampling) and the standardised-units credible interval (gpet.py:266):
+    cred_interval == cred_interval_px, y_std is pixel-unit, and accuracy
+    stays reference-grade."""
+    grad, edge, init, delta_x = _demo_setup()
+    cfg = make_config(
+        init, grad.shape,
+        kernel_options={"kernel": "RBF", "sigma_f": 30, "length_scale": 10},
+        noise_y=1, N_samples=200, score_thresh=0.5, delta_x=delta_x,
+        keep_ratio=0.1, pixel_thresh=5, seed=1, fix_endpoints=True,
+        reference_quirks=False)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    res = run_trace(cfg, data, init_state(cfg))
+    assert bool(res.converged)
+    np.testing.assert_array_equal(np.asarray(res.cred_interval),
+                                  np.asarray(res.cred_interval_px))
+    mse = float(trace_MSE(jnp.asarray(np.asarray(res.edge_trace)),
+                          jnp.asarray(edge[: grad.shape[1]])))
+    assert mse < 8.0, mse
+    # Interval must be meaningfully wide in pixel units (the quirk
+    # interval is ~y_s times narrower).
+    w = np.asarray(res.cred_interval[1] - res.cred_interval[0])
+    assert float(np.median(w)) > 0.3, float(np.median(w))
