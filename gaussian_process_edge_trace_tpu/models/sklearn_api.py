@@ -30,7 +30,7 @@ shape the reference supports in practice (pixel columns).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

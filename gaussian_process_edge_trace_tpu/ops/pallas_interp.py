@@ -26,8 +26,6 @@ gathers are cheap there and Pallas interpret mode is not.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
