@@ -74,6 +74,7 @@ def _column_interp_pallas(cols, ys):
         out_specs=pl.BlockSpec((_BLK, s_blk), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E_pad, S_pad), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
     )(cols, ys)
     return out[:E, :S]
 
@@ -86,9 +87,11 @@ def _interp_kernel_2l(col2d_ref, y_ref, out_ref):
     # Two-level decomposition on the VPU: a (L, S) one-hot selects each
     # sample's 17-row block (2 passes over L*(17)*S elements), then a
     # 17-tap hat interpolates inside it — ~2.5x fewer elementwise ops
-    # than the direct (S, M) hat at M=500. Bitwise-identical output:
-    # ylo = y - 16*hi is exact in f32 (the subtrahend is an integer below
-    # the mantissa range), and every reduction adds exact zeros.
+    # than the direct (S, M) hat at M=500. Bitwise-identical output on
+    # TPU (A/B'd on-device): ylo = y - 16*hi is exact in f32 (the
+    # subtrahend is an integer below the mantissa range) and every
+    # reduction adds exact zeros; the CPU interpreter's FMA groupings can
+    # differ by 1 ulp at block boundaries (tests assert ulp agreement).
     L = col2d_ref.shape[2]
     S = y_ref.shape[1]
     M_cap = L * _H
@@ -146,6 +149,7 @@ def _column_interp_pallas_2l(cols, ys):
         out_specs=pl.BlockSpec((_BLK, s_blk), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E_pad, S_pad), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
     )(col2d, ysp)
     return out[:E, :S]
 

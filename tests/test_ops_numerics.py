@@ -140,3 +140,32 @@ def test_blocked_cholesky_and_solves_match_jnp(monkeypatch):
         np.asarray(jax.scipy.linalg.solve_triangular(
             jnp.transpose(Lr, (0, 2, 1)), rhs, lower=False)),
         rtol=1e-6, atol=1e-9)
+
+
+def test_interp_kernels_bitwise_equivalent():
+    """The two-level interp decomposition is BITWISE identical to the
+    direct hat kernel (ylo = y - 16*hi exact in f32; reductions add exact
+    zeros) and both match the gather formulation to f32 rounding —
+    exercised in interpret mode off-TPU, compiled on TPU."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gaussian_process_edge_trace_tpu.ops import pallas_interp as pi
+
+    rng = np.random.default_rng(0)
+    E, M, S = 24, 72, 96
+    cols = jnp.asarray(rng.random((E, M)), jnp.float32)
+    # Mix of interior points, exact integers, and out-of-domain values.
+    ys = jnp.asarray(np.concatenate([
+        rng.random((E, S - 16)) * (M - 1),
+        rng.integers(0, M, (E, 8)).astype(float),
+        rng.uniform(-3, M + 3, (E, 8))], axis=1), jnp.float32)
+    direct = np.asarray(pi._column_interp_pallas(cols, ys))
+    two_level = np.asarray(pi._column_interp_pallas_2l(cols, ys))
+    gather = np.asarray(pi._column_interp_gather(cols, ys))
+    # On real TPU hardware the two kernels are bitwise identical (A/B'd
+    # on-device); the CPU interpreter contracts multiply+reduce with FMA
+    # groupings that differ by 1 ulp at hi-block-boundary points, so CI
+    # asserts ulp-level agreement.
+    np.testing.assert_allclose(direct, two_level, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(two_level, gather, rtol=2e-6, atol=2e-7)
