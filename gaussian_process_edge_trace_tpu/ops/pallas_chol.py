@@ -102,17 +102,59 @@ def _chunk_call(kernel, operands, aliased_idx, out_shape):
     )(*operands)
 
 
-def _chunks(B):
-    out = []
-    s = 0
-    while s < B:
-        out.append((s, min(_B_BLK, B - s)))
-        s += _B_BLK
-    return out
+def _lane_groups(Xt, pad_lane):
+    """(n, m, B) → (G, n, m, 128) lane groups, padding the batch tail with
+    ``pad_lane`` (an (n, m) matrix replicated on the padded lanes)."""
+    n, m, B = Xt.shape
+    G = (B + _B_BLK - 1) // _B_BLK
+    Bp = G * _B_BLK
+    if Bp != B:
+        fill = jnp.broadcast_to(pad_lane.astype(Xt.dtype)[:, :, None],
+                                (n, m, Bp - B))
+        Xt = jnp.concatenate([Xt, fill], axis=2)
+    return jnp.moveaxis(Xt.reshape(n, m, G, _B_BLK), 2, 0)
 
 
-def batched_cholesky(K):
-    """Lower Cholesky of a (B, n, n) PD batch, batch-on-lanes kernel."""
+def _ungroup(out, B):
+    """(G, n, m, 128) → (n, m, B)."""
+    G, n, m, w = out.shape
+    return jnp.moveaxis(out, 0, 2).reshape(n, m, G * w)[:, :, :B]
+
+
+def _map_groups(one, groups):
+    """Apply the single-group kernel over (G, ...) groups. ``lax.map``
+    (not a Python loop) keeps the HLO one loop regardless of G, and each
+    iteration is the gridless aliased call — VMEM holds ONE
+    (n, n, 128) block, never Pallas's double-buffered grid pipeline
+    (which OOMed scoped VMEM under a frame-level vmap)."""
+    if groups.shape[0] == 1:
+        return one(groups[0])[None]
+    return jax.lax.map(one, groups)
+
+
+def _flatten_vmap(fn):
+    """custom_vmap rule factory: a leading batch axis is semantically just
+    more matrices, so vmap flattens it into the lane batch instead of
+    letting Pallas's generic batching rule grid over it (which re-buffers
+    whole VMEM-sized blocks and OOMs at frame-batch sizes >= ~4)."""
+    from jax.custom_batching import custom_vmap
+
+    wrapped = custom_vmap(fn)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else
+                jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        F, B = args[0].shape[0], args[0].shape[1]
+        flat = [a.reshape((F * B,) + a.shape[2:]) for a in args]
+        out = wrapped(*flat)
+        return out.reshape((F, B) + out.shape[1:]), True
+
+    return wrapped
+
+
+def _batched_cholesky_impl(K):
     B, n, _ = K.shape
     dt = K.dtype
     Kt = jnp.transpose(K, (1, 2, 0))                          # (n, n, B)
@@ -120,18 +162,17 @@ def batched_cholesky(K):
     def kern(k_ref, o_ref):
         _chol_kernel_body(o_ref, n)
 
-    outs = []
-    for s, w in _chunks(B):
-        blk = jax.lax.slice_in_dim(Kt, s, s + w, axis=2)
-        outs.append(_chunk_call(
-            kern, [blk], 0,
-            jax.ShapeDtypeStruct((n, n, w), dt)))
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+    def one(blk):
+        return _chunk_call(kern, [blk], 0,
+                           jax.ShapeDtypeStruct((n, n, _B_BLK), dt))
+
+    groups = _lane_groups(Kt, jnp.eye(n))   # identity pad: PD, no NaNs
+    out = _ungroup(_map_groups(one, groups), B)
     # Buffer holds Lᵀ in (row-of-Lᵀ = col-of-L, ·, B) layout.
     return jnp.transpose(out, (2, 1, 0))
 
 
-def _batched_solve(L, RHS, lower_fwd: bool):
+def _batched_solve_impl(L, RHS, lower_fwd: bool):
     B, n, m = RHS.shape
     dt = RHS.dtype
     Lt = jnp.transpose(L.astype(dt), (1, 2, 0))
@@ -142,30 +183,34 @@ def _batched_solve(L, RHS, lower_fwd: bool):
     def kern(l_ref, r_ref, z_ref):
         body(l_ref, z_ref, n)
 
-    outs = []
-    for s, w in _chunks(B):
-        lb = jax.lax.slice_in_dim(Lt, s, s + w, axis=2)
-        rb = jax.lax.slice_in_dim(Rt, s, s + w, axis=2)
-        outs.append(_chunk_call(
-            kern, [lb, rb], 1,
-            jax.ShapeDtypeStruct((n, m, w), dt)))
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
-    return jnp.transpose(out, (2, 0, 1))
+    def one(args):
+        lb, rb = args
+        return _chunk_call(kern, [lb, rb], 1,
+                           jax.ShapeDtypeStruct((n, m, _B_BLK), dt))
+
+    lg = _lane_groups(Lt, jnp.eye(n))
+    rg = _lane_groups(Rt, jnp.zeros((n, m)))
+    if lg.shape[0] == 1:
+        out = one((lg[0], rg[0]))[None]
+    else:
+        out = jax.lax.map(one, (lg, rg))
+    return jnp.transpose(_ungroup(out, B), (2, 0, 1))
 
 
-@jax.jit
-def batched_forward_solve(L, RHS):
-    """Solve ``L Z = RHS`` for a (B, n, n) lower batch, RHS (B, n, m)."""
-    return _batched_solve(L, RHS, True)
+batched_cholesky = jax.jit(_flatten_vmap(_batched_cholesky_impl))
+batched_cholesky.__doc__ = (
+    "Lower Cholesky of a (B, n, n) PD batch, batch-on-lanes kernel. "
+    "vmap flattens extra leading axes into the batch.")
 
+batched_forward_solve = jax.jit(
+    _flatten_vmap(lambda L, RHS: _batched_solve_impl(L, RHS, True)))
+batched_forward_solve.__doc__ = (
+    "Solve ``L Z = RHS`` for a (B, n, n) lower batch, RHS (B, n, m).")
 
-@jax.jit
-def batched_backward_solve(L, RHS):
-    """Solve ``Lᵀ Z = RHS`` for a (B, n, n) lower batch, RHS (B, n, m)."""
-    return _batched_solve(L, RHS, False)
-
-
-batched_cholesky = jax.jit(batched_cholesky)
+batched_backward_solve = jax.jit(
+    _flatten_vmap(lambda L, RHS: _batched_solve_impl(L, RHS, False)))
+batched_backward_solve.__doc__ = (
+    "Solve ``Lᵀ Z = RHS`` for a (B, n, n) lower batch, RHS (B, n, m).")
 
 
 # ---------------------------------------------------------------------------

@@ -149,14 +149,19 @@ def _trace_local(cfg, data_local, states_local, n_sample_shards,
         data_local.init_x, data_local.init_y, states_local)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def trace_batch_vmap(cfg: TracerConfig, data: TracerData,
                      states0: TraceState) -> TraceResult:
-    """Single-device batched tracing (plain vmap) — the dp-only fallback
-    and the numerical oracle for the sharded path."""
-    @jax.jit
-    def run(d, s):
-        return _trace_local(cfg, d, s, 1, None)
-    return run(data, states0)
+    """Single-device batched tracing (plain vmap) — the dp-only fallback,
+    the numerical oracle for the sharded path, and the single-chip serving
+    workhorse (B complete traces amortise one dispatch round trip).
+
+    Module-level jit with a static ``cfg``: an earlier version built the
+    jit wrapper inside the function body, which made EVERY call retrace
+    and recompile (~23 s per call through the remote-compile tunnel) —
+    the steady-state B=4 batch ran 23.4 s instead of ~60 ms.
+    """
+    return _trace_local(cfg, data, states0, 1, None)
 
 
 def trace_sequence(cfg: TracerConfig, grad_imgs, inits):
