@@ -91,6 +91,33 @@ def main():
     median_dice = dices[len(dices) // 2]
     log(f"per-seed: {per_seed}  median DICE={median_dice:.4f}")
 
+    # --- batched serving throughput (B=16 frames in ONE dispatch) ---------
+    from gaussian_process_edge_trace_tpu.parallel.sharded import (
+        make_batch_data, make_batch_state, trace_batch_vmap)
+    B = 16
+    gs, ins, eds = [], [], []
+    for s in range(B):
+        im, ed = gpt.construct_test_img(
+            (500, 500), 200, 4, 0.05, "sinusoidal", 0.3, gaps=True,
+            seed=1 + s)
+        gs.append(np.asarray(gpt.comp_grad_img(im, kernel), np.float64))
+        ins.append(ed[[0, -1]][:, [1, 0]])
+        eds.append(ed)
+    datab = make_batch_data(cfg, np.stack(gs), np.stack(ins))
+    statesb = make_batch_state(cfg, B)
+    rb = jax.block_until_ready(trace_batch_vmap(cfg, datab, statesb))
+    bt = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rb = jax.block_until_ready(trace_batch_vmap(cfg, datab, statesb))
+        bt.append(time.perf_counter() - t0)
+    batch_s = float(np.median(bt))
+    batch_dice = sorted(float(gpt.trace_dicecoef(
+        np.asarray(rb.edge_trace)[f], eds[f])) for f in range(B))
+    log(f"batch B={B}: {batch_s*1e3:.1f} ms total, "
+        f"{batch_s*1e3/B:.2f} ms/trace, {B/batch_s:.1f} traces/s, "
+        f"DICE median={batch_dice[B//2]:.4f}")
+
     # --- CPU reference baseline ------------------------------------------
     from benchmarks.reference_cpu import ReferenceTracerCPU
     t0 = time.perf_counter()
@@ -120,6 +147,9 @@ def main():
         "mfu": round(mfu_val, 5),
         "per_seed": per_seed,
         "median_dice": median_dice,
+        "batch16_ms_per_trace": round(batch_s * 1e3 / B, 2),
+        "batch16_traces_per_s": round(B / batch_s, 1),
+        "batch16_dice_median": round(batch_dice[B // 2], 4),
     }))
 
 

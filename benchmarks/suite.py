@@ -95,6 +95,42 @@ def main():
                                        true_edge)),
          **_mfu(cfg, res, ms))
 
+    # ---- config 1b: batched serving throughput (B frames / dispatch) ------
+    # The reference traces one image per call (gpet.py:768); the framework
+    # serves B complete traces per dispatch via vmap (VERDICT r2 item 1).
+    from gaussian_process_edge_trace_tpu.parallel.sharded import (
+        make_batch_data, make_batch_state, trace_batch_vmap)
+
+    def batch_frames(B):
+        gs, ins, eds = [], [], []
+        for s in range(B):
+            im, ed = gpt.construct_test_img(
+                (500, 500), 200, 4, 0.05, "sinusoidal", 0.3, gaps=True,
+                seed=1 + s)
+            gs.append(np.asarray(gpt.comp_grad_img(jnp.asarray(im), kb)))
+            ins.append(ed[[0, -1]][:, [1, 0]])
+            eds.append(ed)
+        return np.stack(gs), np.stack(ins), eds
+
+    for B in ([16] if args.quick else [4, 16, 64]):
+        gs, ins, eds = batch_frames(B)
+        cfgb = make_config(ins[0], (500, 500),
+                           kernel_options={"kernel": "RBF", "sigma_f": 75,
+                                           "length_scale": 20},
+                           noise_y=1, N_samples=1000, score_thresh=1,
+                           delta_x=5, keep_ratio=0.1, pixel_thresh=5,
+                           seed=1, fix_endpoints=True)
+        datab = make_batch_data(cfgb, gs, ins)
+        statesb = make_batch_state(cfgb, B)
+        ms = _sync_median(trace_batch_vmap, cfgb, datab, statesb, n=3)
+        rb = trace_batch_vmap(cfgb, datab, statesb)
+        dice_b = [float(gpt.trace_dicecoef(
+            np.asarray(rb.edge_trace)[f], eds[f])) for f in range(B)]
+        emit(f"1b_batch_serving_B{B}", ms / B,
+             total_ms=round(ms, 1),
+             traces_per_s=round(B / (ms / 1e3), 1),
+             dice_median=round(float(np.median(dice_b)), 4))
+
     # ---- config 2: preprocessing sweep ------------------------------------
     for ksz in [(5, 3), (11, 5), (15, 7)]:
         k = gpt.kernel_builder(ksz, unit=False)  # host constant
