@@ -238,6 +238,7 @@ class GaussianProcessRegressor:
                              jnp.asarray(y_proc[:, 0]), ls, c,
                              self._diag_noise(n), mask, centre=False)
         from jax.scipy.linalg import cho_solve
+        self._y_proc = y_proc                                # (n, m)
         self._alpha_multi = cho_solve((self._state.L, True),
                                       jnp.asarray(y_proc))   # (n, m)
         self.kernel_ = self._kernel_
@@ -339,31 +340,95 @@ class GaussianProcessRegressor:
             y_var = np.squeeze(y_var, axis=1)
         return y_mean, np.sqrt(y_var)
 
+    def _joint_prior_factor(self, Xq, spec, ls):
+        """Unit-variance prior square-root over query ∪ train points.
+
+        Host LAPACK f64 eigh (TPU ``eigh`` at these sizes is pathologically
+        slow — CLAUDE.md), cached per (query grid, ℓ): it depends only on
+        the PRIOR (point locations + length-scale), never on the training
+        targets, so repeated ``sample_y`` calls reuse it."""
+        from gaussian_process_edge_trace_tpu.models.kernels import k_unit_np
+        key = (Xq.tobytes(), float(ls), spec)
+        cache = getattr(self, "_prior_factor_cache", None)
+        if cache is None:
+            cache = self._prior_factor_cache = {}
+        F = cache.get(key)
+        if F is None:
+            P = np.concatenate([Xq, self.X_train_])
+            d = np.abs(P[:, None] - P[None, :]) / float(ls)
+            K = k_unit_np(spec, d)
+            K[np.diag_indices_from(K)] += 1e-10
+            w, V = np.linalg.eigh(K)
+            F = jnp.asarray(V * np.sqrt(np.clip(w, 0.0, None))[None, :])
+            if len(cache) >= 4:
+                cache.clear()
+            cache[key] = F
+        return F
+
     def sample_y(self, X, n_samples=1, random_state=0):
-        """Posterior draws at ``X``: mean + eigh-factor of the predictive
-        covariance @ normal — the robust-PSD equivalent of the reference's
-        SVD-based ``multivariate_normal`` (sklearn_gpr.py:460-473).
+        """Posterior draws at ``X`` (sklearn_gpr.py:440-473).
+
+        Fitted models use **Matheron pathwise sampling** (the same rule as
+        :func:`..models.gpr.fit_and_sample`): draw a joint prior path over
+        query ∪ train points through a cached host-side prior factor, then
+        correct it with the training residual through the fit's existing
+        n×n Cholesky —
+
+            s = f₀(X*) + K(X*,X) (K+Σ)⁻¹ (y − f₀(X) − ε)
+
+        Exact in distribution (mean ``K*α``, covariance
+        ``K** − K*(K+Σ)⁻¹K*ᵀ``), but the per-call nq×nq predictive
+        covariance factorisation of the reference hot spot
+        (sklearn_gpr.py:460-473) is gone: the only factorisation left is
+        of the PRIOR, computed once per query grid and cached. Unfitted
+        models keep the eigh prior draw.
+
         Returns (n_query, n_samples), or (n_query, n_targets, n_samples)
         for multi-output fits (sklearn_gpr.py:454-473)."""
+        key = jax.random.PRNGKey(int(random_state))
+        S = int(n_samples)
+        if hasattr(self, "_state"):
+            spec, c, ls, _ = self._params()
+            Xq = np.asarray(X, dtype=np.float64).reshape(-1)
+            nq, n = Xq.shape[0], self.X_train_.shape[0]
+            F = self._joint_prior_factor(Xq, spec, ls)      # (nq+n, nq+n)
+            st = self._state
+            diag_noise = self._diag_noise(n)
+            Kq = cross_gram(spec, jnp.asarray(Xq), st.x, ls, c)
+            from jax.scipy.linalg import cho_solve
+            sqrt_c = jnp.sqrt(jnp.asarray(c, F.dtype))
+            sqrt_noise = jnp.sqrt(jnp.maximum(diag_noise, 0.0))
+            yp = jnp.asarray(self._y_proc)                  # (n, m)
+            m_, sd = self._y_train_mean, self._y_train_std
+
+            def draw(t, k):
+                kp, kn = jax.random.split(k)
+                z = jax.random.normal(kp, (nq + n, S), F.dtype)
+                f0 = sqrt_c * (F @ z)                       # (nq+n, S)
+                eps = sqrt_noise[:, None] * jax.random.normal(
+                    kn, (n, S), F.dtype)
+                resid = yp[:, t][:, None] - f0[nq:] - eps
+                A = cho_solve((st.L, True), resid)          # (n, S)
+                s_proc = f0[:nq] + Kq @ A
+                # The fork's unconditional std rescale (sklearn_gpr.py:
+                # 385,401) — same quirk path as predict().
+                return sd[t] * s_proc + m_[t]
+
+            if self._n_targets is None:
+                return draw(0, key)
+            cols = [draw(t, jax.random.fold_in(key, t))
+                    for t in range(yp.shape[1])]
+            return jnp.stack(cols, axis=1)  # (nq, n_targets, n_samples)
+
+        # Unfitted: prior draws — eigh of the prior covariance
+        # (sklearn_gpr.py:363-378 prior branch).
         mean, cov = self.predict(X, return_cov=True)
         mean = jnp.asarray(mean)
         cov = jnp.asarray(cov)
-        key = jax.random.PRNGKey(int(random_state))
-
-        def draw(mu, C, k):
-            w, V = jnp.linalg.eigh(C)
-            F = V * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
-            z = jax.random.normal(k, (C.shape[0], int(n_samples)),
-                                  mu.dtype)
-            return mu[:, None] + F @ z
-
-        if mean.ndim == 1:
-            return draw(mean, cov, key)
-        # One independent stream per target, like the reference's
-        # per-target multivariate_normal loop (sklearn_gpr.py:466-472).
-        cols = [draw(mean[:, t], cov[..., t], jax.random.fold_in(key, t))
-                for t in range(mean.shape[1])]
-        return jnp.stack(cols, axis=1)      # (nq, n_targets, n_samples)
+        w, V = jnp.linalg.eigh(cov)
+        Fq = V * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
+        z = jax.random.normal(key, (cov.shape[0], S), mean.dtype)
+        return mean[:, None] + Fq @ z
 
     def score(self, X, y):
         """Coefficient of determination R² (sklearn RegressorMixin.score;

@@ -80,10 +80,21 @@ class GP_Edge_Tracing:
         self.x_grid = np.asarray(self.data.x_grid)
         self.grad_img = np.asarray(self.data.grad_img)
         self.grad_kde = np.asarray(self.data.grad_kde)
-        # Tiled inputs and per-init noise weights (gpet.py:115,161-162).
-        self.X = np.tile(self.x_grid[:, None], (1, self.N_samples))
+        # Per-init noise weights (gpet.py:161-162). The tiled X mirror
+        # (gpet.py:115) is materialised lazily via the ``X`` property.
+        self._X = None
         self.alpha_init = np.full((self.init.shape[0],),
                                   cfg.init_noise_weight)
+
+    @property
+    def X(self):
+        """Tiled (edge_length, N_samples) x-grid (gpet.py:115), mirrored
+        for API parity only — nothing in the TPU path consumes it.
+        Lazy: the eager tile allocated O(E·S) host memory on every
+        construction (800 MB at E=1000, S=10⁵ f64, BASELINE config 4)."""
+        if self._X is None:
+            self._X = np.tile(self.x_grid[:, None], (1, self.N_samples))
+        return self._X
 
     # -- helpers ----------------------------------------------------------
 
