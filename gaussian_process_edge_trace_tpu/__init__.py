@@ -15,6 +15,14 @@ from gaussian_process_edge_trace_tpu.utils import (  # noqa: F401
 
 __version__ = "0.1.0"
 
+# Debug config (SURVEY §5 sanitizer row): GPET_DEBUG=1 enables
+# jax_debug_nans at import; utils.debug has the scoped/manual knobs.
+import os as _os
+
+if _os.environ.get("GPET_DEBUG") == "1":
+    from gaussian_process_edge_trace_tpu.utils.debug import enable_debug
+    enable_debug()
+
 __all__ = [
     "kernel_builder", "normalise", "comp_grad_img", "denoise",
     "construct_test_img", "trace_MSE", "trace_relarea", "trace_dicecoef",

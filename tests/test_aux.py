@@ -158,3 +158,32 @@ def test_device_op_breakdown_smoke():
     f = jax.jit(lambda x: jnp.sin(x) @ x.T)
     rows = device_op_breakdown(f, jnp.ones((128, 128)), top=5)
     assert rows and all(ms >= 0 for ms, _ in rows)
+
+
+def test_debug_config_catches_nans():
+    # VERDICT r2 item 8 / SURVEY §5 sanitizer row: the debug knob turns on
+    # jax_debug_nans (FloatingPointError at the producing op) and
+    # assert_all_finite validates whole result pytrees.
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from gaussian_process_edge_trace_tpu.utils.debug import (
+        assert_all_finite, debug_nans, enable_debug)
+
+    @jax.jit
+    def bad(x):
+        return jnp.log(x) / jnp.log(x)
+
+    with debug_nans():
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(bad(jnp.asarray(-1.0)))
+    assert not jax.config.jax_debug_nans        # restored
+
+    enable_debug(True)
+    assert jax.config.jax_debug_nans
+    enable_debug(False)
+
+    assert_all_finite({"ok": jnp.ones(3), "n": jnp.arange(3)}, "r")
+    with pytest.raises(FloatingPointError, match="bad"):
+        assert_all_finite({"bad": jnp.asarray([1.0, jnp.nan])}, "r")
