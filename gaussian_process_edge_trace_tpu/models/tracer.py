@@ -43,7 +43,7 @@ class GP_Edge_Tracing:
                  obs=np.array([], dtype=np.int8), N_samples=500,
                  score_thresh=1, delta_x=20, keep_ratio=0.1, pixel_thresh=5,
                  seed=42, return_std=False, fix_endpoints=True, *,
-                 max_iters=48, reference_quirks=True):
+                 max_iters=48, reference_quirks=True, legacy_simpson=False):
         init = np.asarray(init)
         self.init = init[np.argsort(init[:, 0])].astype(int)  # gpet.py:95
         self.obs = np.asarray(obs).reshape(-1, 2).astype(np.int64)
@@ -56,7 +56,8 @@ class GP_Edge_Tracing:
             N_samples=N_samples, score_thresh=score_thresh, delta_x=delta_x,
             keep_ratio=keep_ratio, pixel_thresh=pixel_thresh, seed=seed,
             fix_endpoints=fix_endpoints, max_iters=max_iters,
-            reference_quirks=reference_quirks)
+            reference_quirks=reference_quirks,
+            legacy_simpson=legacy_simpson)
         self.data = make_data(self.cfg, jnp.asarray(grad_img),
                               jnp.asarray(self.init))
         # Mirror the reference's public attributes (gpet.py:95-119).

@@ -10,7 +10,13 @@ Semantics match ``scipy.integrate.simpson``:
 - odd number of points: classic composite Simpson over consecutive interval
   pairs, with the non-uniform three-point formula;
 - even number of points: Simpson over the leading odd block plus the
-  Cartwright-corrected last interval (scipy >= 1.11 default).
+  Cartwright-corrected last interval (scipy >= 1.11 default), or — with
+  ``even="avg"`` — the historical ``scipy.integrate.simps`` default the
+  genuine upstream called (gpet.py:404-405): the average of (Simpson on
+  the first n−1 points + trapezoid on the last interval) and (trapezoid
+  on the first interval + Simpson on the last n−1 points). The two rules
+  differ by one trailing-interval term per quadrature; the flag exists
+  for bit-faithful cost parity with old-scipy runs of the reference.
 """
 
 from __future__ import annotations
@@ -32,12 +38,13 @@ def _pair_contributions(y0, y1, y2, h0, h1):
     )
 
 
-def simpson_nonuniform(y, x, axis=-1):
+def simpson_nonuniform(y, x, axis=-1, even="simpson"):
     """Composite Simpson integral of samples ``y`` at locations ``x``.
 
     ``y`` and ``x`` must have the same static length along ``axis``
     (length >= 2); broadcasting over leading batch axes is supported when
-    ``axis == -1``.
+    ``axis == -1``. ``even`` ∈ {"simpson", "avg"} selects the
+    even-point-count rule (module docstring).
     """
     y = jnp.asarray(y)
     x = jnp.asarray(x)
@@ -64,6 +71,14 @@ def simpson_nonuniform(y, x, axis=-1):
     if n % 2 == 1:
         return _odd_block(y, h)
 
+    if even == "avg":
+        # Historical scipy `simps` default (gpet.py:404-405).
+        first = (_odd_block(y[..., : n - 1], h[..., : n - 2])
+                 + 0.5 * (y[..., -1] + y[..., -2]) * h[..., -1])
+        second = (0.5 * (y[..., 0] + y[..., 1]) * h[..., 0]
+                  + _odd_block(y[..., 1:], h[..., 1:]))
+        return 0.5 * (first + second)
+
     # Even number of points: Simpson on points [0, n-2] (odd count) plus the
     # Cartwright correction on the trailing interval, mirroring scipy's
     # even='simpson' composite rule (the modern >=1.11 default, which the
@@ -83,13 +98,14 @@ def simpson_nonuniform(y, x, axis=-1):
     return main + tail
 
 
-def simpson_weights(x):
+def simpson_weights(x, even="simpson"):
     """Return weights ``w`` with ``simpson(y, x) == y @ w`` for fixed ``x``.
 
     Useful when the sample locations are static (e.g. the uniform arc-length
     grid at gpet.py:405) so the quadrature becomes a single dot product.
     Closed form: the per-pair coefficients of :func:`_pair_contributions`
-    scattered onto the point grid (plus the Cartwright tail for even n).
+    scattered onto the point grid (plus the Cartwright tail for even n, or
+    the historical trapezoid-average with ``even="avg"``).
     """
     x = jnp.asarray(x)
     n = x.shape[-1]
@@ -116,6 +132,13 @@ def simpson_weights(x):
 
     if n % 2 == 1:
         return add_odd_block(w, n)
+    if even == "avg":
+        w1 = add_odd_block(w, n - 1)
+        w1 = w1.at[-1].add(0.5 * h[-1]).at[-2].add(0.5 * h[-1])
+        w2 = jnp.concatenate([jnp.zeros((1,), x.dtype),
+                              simpson_weights(x[1:])])
+        w2 = w2.at[0].add(0.5 * h[0]).at[1].add(0.5 * h[0])
+        return 0.5 * (w1 + w2)
     w = add_odd_block(w, n - 1)
     h0, h1 = h[-2], h[-1]
     alpha = (2 * h1 * h1 + 3 * h0 * h1) / (6 * (h0 + h1))

@@ -102,6 +102,11 @@ class TracerConfig(NamedTuple):
     # interval (gpet.py:266). False gives the mathematically consistent
     # posterior: unit post-scale and a pixel-unit 95% interval.
     reference_quirks: bool = True
+    # True reproduces the historical scipy `simps` even='avg' rule the
+    # upstream's cost quadratures used (gpet.py:404-405); False (default)
+    # is the modern Cartwright rule, matching the installed scipy and the
+    # CPU parity oracle. The two differ by one trailing-interval term.
+    legacy_simpson: bool = False
 
 
 class TracerData(NamedTuple):
@@ -163,7 +168,8 @@ def make_config(init, grad_img_shape, kernel_options=(1, 3, 3), noise_y=1,
                 n_user_obs=0, N_samples=500, score_thresh=1, delta_x=20,
                 keep_ratio=0.1, pixel_thresh=5, seed=42,
                 fix_endpoints=True, max_iters=48, max_decays=400,
-                lml_restarts=12, reference_quirks=True) -> TracerConfig:
+                lml_restarts=12, reference_quirks=True,
+                legacy_simpson=False) -> TracerConfig:
     """Build a :class:`TracerConfig` with the reference's clamping semantics
     (gpet.py:95-119). ``init`` is the (n, 2) xy-space endpoint array."""
     init = np.asarray(init)
@@ -203,7 +209,8 @@ def make_config(init, grad_img_shape, kernel_options=(1, 3, 3), noise_y=1,
         seed=int(seed), max_iters=int(max_iters),
         max_decays=int(max_decays), lml_restarts=int(lml_restarts),
         init_noise_weight=[0.5, 1e-7][int(bool(fix_endpoints))],
-        gp_jitter=1e-6, reference_quirks=bool(reference_quirks))
+        gp_jitter=1e-6, reference_quirks=bool(reference_quirks),
+        legacy_simpson=bool(legacy_simpson))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -359,7 +366,8 @@ def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState,
                             n_samples=s_local, sample_offset=off)
 
     costs = curve_costs(data.grad_img, data.x_grid, samples,
-                        kde_thresh=cfg.kde_thresh, cols=data.grad_cols)
+                        kde_thresh=cfg.kde_thresh, cols=data.grad_cols,
+                        even="avg" if cfg.legacy_simpson else "simpson")
 
     if sample_axis is None:
         bc, bcosts = best_curves(samples, costs, cfg.N_keep)
@@ -566,9 +574,10 @@ def finish_trace(cfg: TracerConfig, data: TracerData,
                          y_mean + 1.96 * y_std_px])
     edge_trace = jnp.stack(
         [jnp.rint(y_mean).astype(jnp.int32), data.x_grid], axis=1)
-    final_cost = curve_costs(data.grad_img, data.x_grid, y_mean[:, None],
-                             kde_thresh=cfg.kde_thresh,
-                             cols=data.grad_cols)[0]
+    final_cost = curve_costs(
+        data.grad_img, data.x_grid, y_mean[:, None],
+        kde_thresh=cfg.kde_thresh, cols=data.grad_cols,
+        even="avg" if cfg.legacy_simpson else "simpson")[0]
     return TraceResult(
         edge_trace=edge_trace, y_mean=y_mean, y_std=y_std,
         cred_interval=cred, cred_interval_px=cred_px, n_iters=state.it,
@@ -615,12 +624,14 @@ def trace_step(cfg: TracerConfig, data: TracerData,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def preview_samples(cfg: TracerConfig, data: TracerData,
                     state: TraceState, key=None):
-    """Samples from the initial posterior with seed 0 (gpet.py:806:
-    ``fit_predict_GP(self.obs, converged=False, seed=0)``)."""
+    """Samples from the initial posterior (gpet.py:806:
+    ``fit_predict_GP(self.obs, converged=False, seed=0)``).
+
+    Default stream is ``PRNGKey(0)`` — the same ``seed → PRNGKey(seed)``
+    mapping ``fit_predict_GP`` documents, applied to the reference's
+    literal ``seed=0`` (independent of ``cfg.seed``, exactly like the
+    reference)."""
     x, y, mask, noise_w = _train_set(cfg, data, state)
     if key is None:
-        key = jax.random.PRNGKey(cfg.seed)
-    # Distinct stream from every loop iteration (which use it+1 >= 1) and
-    # from the final fit (0).
-    return _sample_round(cfg, data, x, y, mask, noise_w,
-                         jax.random.fold_in(key, 2**31 - 1))
+        key = jax.random.PRNGKey(0)
+    return _sample_round(cfg, data, x, y, mask, noise_w, key)

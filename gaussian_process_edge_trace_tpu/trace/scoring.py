@@ -39,9 +39,9 @@ from gaussian_process_edge_trace_tpu.ops.integrate import (
 from gaussian_process_edge_trace_tpu.ops.pallas_interp import column_interp
 
 
-@functools.partial(jax.jit, static_argnames=("kde_thresh",))
+@functools.partial(jax.jit, static_argnames=("kde_thresh", "even"))
 def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
-                cols=None):
+                cols=None, even: str = "simpson"):
     """Costs of all sampled curves.
 
     Args:
@@ -53,6 +53,9 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
         ``TracerData.grad_cols`` inside the trace loop — re-materialising
         the transpose as a Pallas operand every iteration measured 2.5 ms
         per call on v5e vs 0.33 ms with a resident operand.
+      even: even-point Simpson rule; ``"avg"`` reproduces the historical
+        ``scipy.integrate.simps`` default the upstream called
+        (gpet.py:404-405) bit-faithfully.
 
     Returns:
       (S,) costs (lower = better).
@@ -72,11 +75,12 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
     step = jnp.sqrt(1.0 + dy * dy)                    # Euclid = integrand
     curvilinear = jnp.cumsum(step, axis=0)            # (E-1, S)
 
-    line_integral = simpson_nonuniform(grad_score[:-1].T, curvilinear.T)
+    line_integral = simpson_nonuniform(grad_score[:-1].T, curvilinear.T,
+                                       even=even)
 
     # Arc-length Simpson weights are static in x (uniform unit spacing
     # over x_grid[:-1]) so that quadrature is one matvec for the batch.
-    arc_w = simpson_weights(x_grid[:-1].astype(dtype))
+    arc_w = simpson_weights(x_grid[:-1].astype(dtype), even=even)
     arc_length = arc_w @ step                         # (S,)
     return arc_length / line_integral
 

@@ -152,6 +152,14 @@ def denoise(image, technique, kwargs, plot=False, verbose=False):
     box sums), ``wavelet`` (Haar DWT + BayesShrink/VisuShrink), and
     ``tvb`` (split-Bregman TV) — scikit-image is not required (PARITY.md
     documents the in-kind equivalences for wavelet/tvb).
+
+    Caveat (in-kind, not bit-faithful): ``wavelet`` always runs the Haar
+    DWT — a non-Haar ``wavelet=`` kwarg (e.g. ``'db2'``) is accepted for
+    signature compatibility but the output then differs from
+    ``skimage.restoration.denoise_wavelet``; ``tvb`` minimises the same
+    split-Bregman objective with a damped-Jacobi inner solve, so
+    per-pixel values differ from skimage's Gauss-Seidel at equal
+    ``max_num_iter`` (gpet_utils.py:134-140).
     """
     image = jnp.asarray(image, dtype=jnp.float32)
     out = _denoise_dispatch(image, technique, kwargs)

@@ -326,3 +326,64 @@ def test_reference_quirks_off_gives_consistent_posterior():
     # interval is ~y_s times narrower).
     w = np.asarray(res.cred_interval[1] - res.cred_interval[0])
     assert float(np.median(w)) > 0.3, float(np.median(w))
+
+
+def test_preview_samples_seed0_stream():
+    # Parity nit (VERDICT r2 item 10): the reference previews with
+    # fit_predict_GP(obs, converged=False, seed=0) (gpet.py:806); the
+    # preview's default stream must be the documented seed->PRNGKey(0)
+    # mapping, not an ad-hoc fold.
+    import jax
+
+    from gaussian_process_edge_trace_tpu.trace.driver import (
+        _train_set, preview_samples, sample_round_buffers)
+
+    grad, edge, init, delta_x = _demo_setup()
+    cfg, _ = _run(grad, init, delta_x)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    state = init_state(cfg)
+    got = preview_samples(cfg, data, state)
+    x, y, mask, noise_w = _train_set(cfg, data, state)
+    want = sample_round_buffers(cfg, data, x, y, mask, noise_w,
+                                jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_legacy_simpson_flag_changes_even_rule_only():
+    # even='avg' (historical scipy simps, gpet.py:404-405) must change the
+    # cost quadrature's trailing-interval handling and nothing else.
+    from gaussian_process_edge_trace_tpu.ops.integrate import (
+        simpson_nonuniform, simpson_weights)
+    from scipy.integrate import simpson
+
+    rng = np.random.default_rng(3)
+    for n in (6, 10, 124):
+        x = np.sort(rng.uniform(0, 10, n))
+        y = rng.normal(size=n)
+        # historical 'avg': mean of (simpson on first n-1 + trapz last)
+        # and (trapz first + simpson on last n-1); slices are odd-length
+        # so scipy's modern simpson is the unambiguous oracle there.
+        first = (simpson(y[:-1], x=x[:-1])
+                 + 0.5 * (y[-1] + y[-2]) * (x[-1] - x[-2]))
+        second = (0.5 * (y[0] + y[1]) * (x[1] - x[0])
+                  + simpson(y[1:], x=x[1:]))
+        want = 0.5 * (first + second)
+        got = float(simpson_nonuniform(jnp.asarray(y), jnp.asarray(x),
+                                       even="avg"))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        w = np.asarray(simpson_weights(jnp.asarray(x), even="avg"))
+        np.testing.assert_allclose(y @ w, want, rtol=1e-12)
+        # odd-n path unaffected by the flag
+        got_odd = float(simpson_nonuniform(jnp.asarray(y[:-1]),
+                                           jnp.asarray(x[:-1]),
+                                           even="avg"))
+        np.testing.assert_allclose(got_odd, simpson(y[:-1], x=x[:-1]),
+                                   rtol=1e-12)
+
+
+def test_legacy_simpson_trace_runs():
+    grad, edge, init, delta_x = _demo_setup()
+    cfg, res = _run(grad, init, delta_x, legacy_simpson=True)
+    assert bool(res.converged)
+    mse = trace_MSE(np.asarray(res.edge_trace), edge)
+    assert mse < 25.0
