@@ -2,6 +2,7 @@
 binning."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gaussian_process_edge_trace_tpu.trace.checkpoint import (
@@ -33,6 +34,7 @@ def _setup(size=(72, 72)):
     return cfg, data, edge
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     cfg, data, _ = _setup()
     state0 = init_state(cfg)
@@ -54,6 +56,7 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
                                np.asarray(full.y_std))
 
 
+@pytest.mark.slow
 def test_obs_from_result_roundtrip_warm_start():
     cfg, data, edge = _setup()
     res = run_trace(cfg, data, init_state(cfg))

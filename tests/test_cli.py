@@ -3,11 +3,13 @@
 import json
 
 import numpy as np
+import pytest
 
 from gaussian_process_edge_trace_tpu.__main__ import main
 from gaussian_process_edge_trace_tpu.utils.synthetic import construct_test_img
 
 
+@pytest.mark.slow
 def test_cli_trace(tmp_path, capsys):
     img, edge = construct_test_img((72, 72), 22, 2, 0.01, "sinusoidal",
                                    0.3, gaps=False)
@@ -26,6 +28,7 @@ def test_cli_trace(tmp_path, capsys):
     assert np.all(z["cred_upper"] >= z["cred_lower"])
 
 
+@pytest.mark.slow
 def test_cli_batch_and_sequence(tmp_path, capsys):
     from gaussian_process_edge_trace_tpu.utils.image import (
         comp_grad_img, kernel_builder)

@@ -45,6 +45,7 @@ def test_tv_chambolle_denoises():
     assert np.mean((out - clean) ** 2) < 0.5 * np.mean((noisy - clean) ** 2)
 
 
+@pytest.mark.slow
 def test_nl_means_denoises():
     clean, noisy = _noisy_pair(sigma=0.08)
     out = np.asarray(denoise_nl_means(noisy, patch_size=5,
@@ -52,6 +53,7 @@ def test_nl_means_denoises():
     assert np.mean((out - clean) ** 2) < 0.6 * np.mean((noisy - clean) ** 2)
 
 
+@pytest.mark.slow
 def test_denoise_dispatch_paths(capsys):
     clean, noisy = _noisy_pair()
     for tech, kw in [("gaussian", {"sigma": 1.0}), ("median", {"size": 3}),

@@ -85,6 +85,7 @@ def test_trace_deterministic(demo_trace):
                                np.asarray(res2.y_std))
 
 
+@pytest.mark.slow
 def test_trace_seed_changes_samples_not_quality(demo_trace):
     import jax
     grad, edge, init, delta_x, cfg, _ = demo_trace
@@ -103,6 +104,7 @@ def test_trace_seed_changes_samples_not_quality(demo_trace):
     assert max(mses) < 80.0, mses
 
 
+@pytest.mark.slow
 def test_warm_start_accepts_user_obs():
     grad, edge, init, delta_x = _demo_setup()
     N = grad.shape[1]
@@ -124,6 +126,7 @@ def test_warm_start_accepts_user_obs():
     assert mse < 4.0, mse
 
 
+@pytest.mark.slow
 def test_matern_kernel_trace():
     grad, edge, init, delta_x = _demo_setup()
     cfg = make_config(
@@ -140,6 +143,7 @@ def test_matern_kernel_trace():
     assert mse < 6.0, mse
 
 
+@pytest.mark.slow
 def test_runtime_key_overrides_seed():
     import jax
     grad, edge, init, delta_x = _demo_setup()
@@ -158,6 +162,7 @@ def test_runtime_key_overrides_seed():
                               np.asarray(res_k.y_mean))
 
 
+@pytest.mark.slow
 def test_free_endpoints_trace():
     # fix_endpoints=False: endpoint columns are eligible for new pixels and
     # the endpoint noise weight is 0.5 (gpet.py:161-162,655-657).
@@ -176,6 +181,7 @@ def test_free_endpoints_trace():
     assert mse < 15.0, mse
 
 
+@pytest.mark.slow
 def test_tuple_kernel_options_trace():
     # The (k, s, l) heuristic (gpet.py:140-151) end to end.
     grad, edge, init, delta_x = _demo_setup()
@@ -190,6 +196,7 @@ def test_tuple_kernel_options_trace():
     assert bool(res.converged)
 
 
+@pytest.mark.slow
 def test_multi_sinusoidal_parity_with_reference():
     # Two parallel edges (gpet_utils.py:203-210), endpoints on the fainter
     # first edge. Both the reference algorithm and this framework lock
@@ -218,6 +225,7 @@ def test_multi_sinusoidal_parity_with_reference():
     assert err_second < 3.0, err_second
 
 
+@pytest.mark.slow
 def test_degenerate_short_edge():
     # Edge span shorter than delta_x: N_subints = 0 so algo_thresh <= 0,
     # the loop body never runs, and the final fit sees only the two inits
@@ -239,6 +247,7 @@ def test_degenerate_short_edge():
     assert np.all(np.isfinite(np.asarray(res.y_mean)))
 
 
+@pytest.mark.slow
 def test_unconverged_hits_max_iters():
     # A gradient image with no edge anywhere near the inits: the tracer
     # must stop at max_iters with converged=False instead of looping
@@ -259,6 +268,7 @@ def test_unconverged_hits_max_iters():
     assert np.all(np.isfinite(np.asarray(res.y_mean)))
 
 
+@pytest.mark.slow
 def test_random_config_fuzz_no_nans():
     """Fuzz: random (size, kernel, hyper, delta_x, keep_ratio, endpoints)
     configs must produce finite outputs with contract-satisfying shapes —
@@ -302,6 +312,7 @@ def test_random_config_fuzz_no_nans():
         assert 0 <= n_it <= cfg.max_iters, trial
 
 
+@pytest.mark.slow
 def test_reference_quirks_off_gives_consistent_posterior():
     """reference_quirks=False disables the fork's posterior-rescale quirk
     (sampling) and the standardised-units credible interval (gpet.py:266):
@@ -381,6 +392,7 @@ def test_legacy_simpson_flag_changes_even_rule_only():
                                    rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_legacy_simpson_trace_runs():
     grad, edge, init, delta_x = _demo_setup()
     cfg, res = _run(grad, init, delta_x, legacy_simpson=True)

@@ -37,6 +37,7 @@ KW = dict(noise_y=1, N_samples=300, score_thresh=0.5, delta_x=6,
 KOPT = {"kernel": "RBF", "sigma_f": 30, "length_scale": 10}
 
 
+@pytest.mark.slow
 def test_e2e_parity_with_cpu_reference(parity_setup):
     grad, true_edge, init = parity_setup
 
@@ -66,6 +67,7 @@ def test_e2e_parity_with_cpu_reference(parity_setup):
 @pytest.mark.parametrize("ltype", ["sinusoidal", "multi-sinusoidal",
                                    "close multi-sinusoidal",
                                    "co-sinusoidal", "diag", "straight"])
+@pytest.mark.slow
 def test_all_edge_families_trace(ltype):
     """Every synthetic edge family the reference generates
     (gpet_utils.py:197-235) traces to convergence with sane accuracy."""

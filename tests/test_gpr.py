@@ -253,6 +253,7 @@ def test_lbfgs_optimizes_lml_vs_sklearn():
     assert best >= lml_sk - 0.05, (best, lml_sk)
 
 
+@pytest.mark.slow
 def test_lml_optimum_matches_scipy_across_config_space():
     """Property test (VERDICT r1 #5): the batched-screen + vmapped-L-BFGS
     polish used by the converged fit reaches the same LML optimum as
@@ -340,6 +341,7 @@ def test_lml_optimum_matches_scipy_across_config_space():
     assert n_over <= 2, (n_over, [g for g in gaps if g[-1] > tol])
 
 
+@pytest.mark.slow
 def test_batched_lml_matches_autodiff_oracle():
     """Pallas-batched LML values + analytic trace-formula gradients vs
     the autodiff log_marginal_likelihood, masks and all kernels."""
@@ -372,6 +374,7 @@ def test_batched_lml_matches_autodiff_oracle():
                                    rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_optimize_lml_batched_path_matches_scipy():
     """The TPU production path (Pallas-batched LML + FD-Hessian Newton,
     use_batched=True) reaches the converged-scipy optimum on a few random

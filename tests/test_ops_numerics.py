@@ -110,6 +110,7 @@ def test_batched_cholesky_and_solves_match_jnp():
         rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_blocked_cholesky_and_solves_match_jnp(monkeypatch):
     """Blocked panel variants (used above the in-VMEM size ceiling) vs
     jnp oracles — panel size forced small so the CPU test exercises the

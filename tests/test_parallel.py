@@ -53,6 +53,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_batch_converges_and_is_accurate():
     grads, inits, edges = _frames(4)
     cfg = _cfg_for(inits, grads.shape[1:])
@@ -83,6 +84,7 @@ _EXACT_FIELDS = ("edge_trace", "n_iters", "converged", "iter_nobs",
                  "iter_thresh", "obs_x", "obs_y", "obs_valid")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
 def test_sharded_equals_vmap_exactly(mesh_shape):
     """Sharded == single-device vmap: the algorithmic trajectory (every
@@ -123,6 +125,7 @@ def test_data_axis_only_mesh():
     assert np.all(np.asarray(res.converged))
 
 
+@pytest.mark.slow
 def test_trace_sequence_warm_start():
     grads, inits, edges = _frames(3)
     cfg = _cfg_for(inits, grads.shape[1:])

@@ -55,6 +55,7 @@ def test_plot_functions_build_figures():
     plt.close("all")
 
 
+@pytest.mark.slow
 def test_verbose_and_final_diagnostics(monkeypatch, capsys):
     import matplotlib.pyplot as plt
     monkeypatch.setattr(plt, "show", lambda: None)

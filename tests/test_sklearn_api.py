@@ -67,6 +67,7 @@ def test_lml_and_gradient_match_sklearn():
     np.testing.assert_allclose(g1, g2, rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_optimized_fit_reaches_sklearn_lml():
     X, y = _data(n=20, seed=3)
     ours_k = (ConstantKernel(1.0, (1e-2, 1e3)) * RBF(1.0, (1e-2, 1e2))
@@ -158,6 +159,7 @@ def test_score_r2():
     assert gp.score(X, y) > 0.98
 
 
+@pytest.mark.slow
 def test_multi_output_matches_sklearn():
     """2-D y support (sklearn_gpr.py:211-218 multi_output=True): per-column
     posteriors on a shared Cholesky, summed LML, per-column rescale,

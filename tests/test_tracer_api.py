@@ -1,6 +1,7 @@
 """API-parity tests for the ``GP_Edge_Tracing`` wrapper class."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gaussian_process_edge_trace_tpu import GP_Edge_Tracing
@@ -27,6 +28,7 @@ def _kw():
                 keep_ratio=0.1, pixel_thresh=5, seed=2, fix_endpoints=True)
 
 
+@pytest.mark.slow
 def test_positional_signature_matches_reference():
     grad, edge, init = _setup()
     # Reference positional order (gpet.py:22-35): init, grad_img,
@@ -40,6 +42,7 @@ def test_positional_signature_matches_reference():
     assert out.shape == (tracer.edge_length, 2)
 
 
+@pytest.mark.slow
 def test_return_std_tuple():
     grad, edge, init = _setup()
     tracer = GP_Edge_Tracing(init, grad, return_std=True, **_kw())
@@ -56,6 +59,7 @@ def test_return_std_tuple():
     assert mse < 15.0, mse
 
 
+@pytest.mark.slow
 def test_return_lines_and_introspective_path_match_fused():
     grad, edge, init = _setup()
     t1 = GP_Edge_Tracing(init, grad, **_kw())
@@ -87,6 +91,7 @@ def test_clamps_match_reference():
     assert tracer.algo_thresh == tracer.N_subints - 1
 
 
+@pytest.mark.slow
 def test_warm_start_obs_argument():
     grad, edge, init = _setup()
     xs = np.arange(8, 88, 13)
@@ -109,6 +114,7 @@ def test_reference_module_aliases():
     assert hasattr(sklearn_gpr, "WeightedWhiteKernel")
 
 
+@pytest.mark.slow
 def test_reference_method_surface_drives_one_manual_iteration():
     """Drive the reference's public methods the way gpet.py's __call__
     does (gpet.py:829-886): fit_predict_GP -> get_best_curves ->
