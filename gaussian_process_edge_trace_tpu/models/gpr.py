@@ -211,7 +211,12 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
     yc = jnp.where(mask, y - y_mean, 0.0)
 
     K = train_gram(spec, x, length_scale, variance, diag_noise, mask=mask)
-    L = safe_cholesky(K)
+    # Two-candidate jitter ladder: the sampling-round Gram carries the
+    # full observation-noise diagonal (noise_y·weights, gpet.py:218-221),
+    # so the unjittered factorisation is far from the f32 edge and the
+    # middle 1e-5 rung is dead weight — XLA's batched cholesky is batch-
+    # SEQUENTIAL (~12 µs per rung per iteration).
+    L = safe_cholesky(K, jitter_scales=(0.0, 1e-3))
 
     def local_slice(a):
         if S_tot == n_samples:
