@@ -76,26 +76,45 @@ def _chol_kernel_body(a_ref, n: int):
 
 
 def _fwd_solve_kernel_body(l_ref, z_ref, n: int):
-    # Solve L Z = RHS in place (rhs aliased to z_ref).
-    for i in range(n):
-        acc = z_ref[i, :, :]
-        if i > 0:
-            # Σ_{j<i} L[i, j] * Z[j] — finished rows read back from the
-            # output ref (read-after-write within the kernel).
-            acc = acc - jnp.sum(l_ref[i, :i, :][:, None, :]
-                                * z_ref[:i, :, :], axis=0)
-        z_ref[i, :, :] = acc / l_ref[i, i, :][None, :]
+    # Solve L Z = RHS in place (rhs aliased to z_ref). Substitution is
+    # row-by-row via fori_loop with a full-height masked reduce per row
+    # (finished rows j < i read back from the output ref; unfinished rows
+    # are masked to zero). 2× the triangular-minimal flops, but the IR is
+    # O(1) per step — a Python-unrolled row loop at n=128 drove Mosaic
+    # compile times pathological (the r3 n=208 LML-fit hang), exactly
+    # like the unrolled k-loop documented on the Cholesky body.
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def step(i, _):
+        li = l_ref[i]                                     # (n, B)
+        done = jnp.where(rows3 < i, z_ref[...], 0.0)      # (n, m, B)
+        acc = z_ref[i] - jnp.sum(li[:, None, :] * done, axis=0)
+        d = jnp.sum(jnp.where(rows2 == i, li, 0.0), axis=0)   # (B,)
+        z_ref[i] = acc / d[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, step, 0)
 
 
-def _bwd_solve_kernel_body(l_ref, z_ref, n: int):
-    # Solve Lᵀ Z = RHS in place.
-    for i in range(n - 1, -1, -1):
-        acc = z_ref[i, :, :]
-        if i < n - 1:
-            # Σ_{j>i} L[j, i] * Z[j]
-            acc = acc - jnp.sum(l_ref[i + 1:, i, :][:, None, :]
-                                * z_ref[i + 1:, :, :], axis=0)
-        z_ref[i, :, :] = acc / l_ref[i, i, :][None, :]
+def _bwd_solve_kernel_body(lt_ref, z_ref, n: int):
+    # Solve Lᵀ Z = RHS in place. ``lt_ref`` holds Lᵀ (the wrapper
+    # transposes outside the kernel) so "column i of L" is the leading-dim
+    # row read Mosaic supports; otherwise mirrors the forward body with
+    # the j > i mask and a reversed row order.
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def step(t, _):
+        i = n - 1 - t
+        lti = lt_ref[i]                                   # (n, B)
+        done = jnp.where(rows3 > i, z_ref[...], 0.0)      # (n, m, B)
+        acc = z_ref[i] - jnp.sum(lti[:, None, :] * done, axis=0)
+        d = jnp.sum(jnp.where(rows2 == i, lti, 0.0), axis=0)  # (B,)
+        z_ref[i] = acc / d[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, step, 0)
 
 
 def _chunk_call(kernel, operands, aliased_idx, out_shape):
@@ -186,10 +205,41 @@ def _batched_cholesky_impl(K):
     return jnp.transpose(out, (2, 1, 0))
 
 
+# A solve kernel holds the (n, n, 128) L block PLUS the aliased
+# (n, m, 128) RHS/solution block in VMEM at once. Wide right-hand sides
+# (the K⁻¹ = L⁻ᵀL⁻¹ identity solves in models/gpr.batched_lml) blow the
+# ~16 MB VMEM once n·(n+m)·128·4 bytes gets close to it, so the RHS is
+# chunked along m — columns of a triangular solve are independent, the
+# chunk loop is a lax.map over identical kernel invocations.
+_VMEM_SOLVE_BUDGET = 15 * 1024 * 1024
+
+
 def _batched_solve_impl(L, RHS, lower_fwd: bool):
     B, n, m = RHS.shape
+    elt = RHS.dtype.itemsize
+    free = _VMEM_SOLVE_BUDGET - n * n * _B_BLK * elt
+    max_m = free // (n * _B_BLK * elt)
+    if max_m >= m or max_m < 8:
+        # Fits as one block — or L alone already fills the budget, in
+        # which case chunking cannot help (callers keep m tiny there).
+        return _solve_one_block(L, RHS, lower_fwd)
+    mc = 64
+    while mc > max_m:
+        mc //= 2
+    k = -(-m // mc)
+    Rp = jnp.pad(RHS, ((0, 0), (0, 0), (0, k * mc - m)))
+    chunks = jnp.moveaxis(Rp.reshape(B, n, k, mc), 2, 0)   # (k, B, n, mc)
+    out = jax.lax.map(lambda R: _solve_one_block(L, R, lower_fwd), chunks)
+    return jnp.moveaxis(out, 0, 2).reshape(B, n, k * mc)[:, :, :m]
+
+
+def _solve_one_block(L, RHS, lower_fwd: bool):
+    B, n, m = RHS.shape
     dt = RHS.dtype
-    Lt = jnp.transpose(L.astype(dt), (1, 2, 0))
+    # fwd reads rows of L; bwd reads columns (as rows of Lᵀ — the extra
+    # swapaxes happens in XLA, outside the kernel).
+    Lt = jnp.transpose(L.astype(dt),
+                       (1, 2, 0) if lower_fwd else (2, 1, 0))
     Rt = jnp.transpose(RHS, (1, 2, 0))
     body = (_fwd_solve_kernel_body if lower_fwd
             else _bwd_solve_kernel_body)

@@ -170,3 +170,35 @@ def test_interp_kernels_bitwise_equivalent():
     # asserts ulp-level agreement.
     np.testing.assert_allclose(direct, two_level, rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(two_level, gather, rtol=2e-6, atol=2e-7)
+
+
+def test_mchunked_solves_match_jnp(monkeypatch):
+    """Wide-RHS solves chunk the RHS along m so the aliased VMEM block
+    stays feasible (the K⁻¹ identity solves in batched_lml at large n).
+    Budget forced small so the CPU test exercises the chunk loop,
+    including an uneven tail chunk."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import gaussian_process_edge_trace_tpu.ops.pallas_chol as pc
+
+    rng = np.random.default_rng(1)
+    B, n, m = 3, 24, 50
+    # Force chunking: l block = n*n*128*8 bytes; leave room for m≈16.
+    monkeypatch.setattr(pc, "_VMEM_SOLVE_BUDGET",
+                        n * n * 128 * 8 + 16 * n * 128 * 8)
+    A = rng.normal(size=(B, n, n))
+    K = jnp.asarray(A @ np.transpose(A, (0, 2, 1)) + n * np.eye(n))
+    L = pc.batched_cholesky(K)
+    Lr = jnp.linalg.cholesky(K)
+    rhs = jnp.asarray(rng.normal(size=(B, n, m)))
+    np.testing.assert_allclose(
+        np.asarray(pc.batched_forward_solve(L, rhs)),
+        np.asarray(jax.scipy.linalg.solve_triangular(Lr, rhs, lower=True)),
+        rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(pc.batched_backward_solve(L, rhs)),
+        np.asarray(jax.scipy.linalg.solve_triangular(
+            jnp.transpose(Lr, (0, 2, 1)), rhs, lower=False)),
+        rtol=1e-6, atol=1e-8)
