@@ -123,16 +123,33 @@ def sharded_trace_batch(cfg: TracerConfig, data: TracerData,
         *([frame_sharded] * len(TraceResult._fields)))
 
     def local_fn(data_local, states_local):
-        return _trace_local(cfg, data_local, states_local, n_sample,
-                            SAMPLE_AXIS)
+        # Static varying-manifest typing (check_vma=True): the while-loop
+        # body mixes the replicated carry with collective-produced
+        # (sample-axis-varying-typed) values, so the whole carry must
+        # enter the loop varying-typed; the outputs are restored to
+        # sample-invariant with an idempotent pmax (every sample-axis
+        # member holds IDENTICAL results by construction — posterior
+        # draws are keyed by global sample index and the per-iteration
+        # all_gather/psum replicate the selection inputs — so pmax is a
+        # no-op on values and only a type cast + tiny end-of-trace
+        # collective; the (1,8)/(2,4)/(8,1) trajectory-parity tests pin
+        # the invariant dynamically as well).
+        states_local = jax.tree.map(
+            lambda a: jax.lax.pcast(a, (SAMPLE_AXIS,), to="varying"),
+            states_local)
+        res = _trace_local(cfg, data_local, states_local, n_sample,
+                           SAMPLE_AXIS)
+        return jax.tree.map(_sample_invariant, res)
 
-    # check_vma=False: loop carries mix replicated state with
-    # collective-produced (axis-varying-typed) values; the replication
-    # invariant holds by construction (psum/all_gather give identical
-    # results on every sample-axis member), so skip the static typing.
+    def _sample_invariant(a):
+        if a.dtype == jnp.bool_:
+            return jax.lax.pmax(a.astype(jnp.int8),
+                                SAMPLE_AXIS).astype(jnp.bool_)
+        return jax.lax.pmax(a, SAMPLE_AXIS)
+
     return jax.shard_map(
         local_fn, mesh=mesh, in_specs=(data_specs, state_specs),
-        out_specs=out_specs, check_vma=False)(data, states0)
+        out_specs=out_specs, check_vma=True)(data, states0)
 
 
 def _trace_local(cfg, data_local, states_local, n_sample_shards,
