@@ -423,3 +423,54 @@ def test_optimize_lml_batched_path_matches_scipy():
             jnp.asarray(nw), jnp.asarray(starts), jnp.asarray(lb),
             jnp.asarray(ub), use_batched=True)
         assert float(-lml) <= best + 1e-3, (p, float(-lml), best)
+
+
+@pytest.mark.slow
+def test_optimize_lml_batched_path_large_n():
+    """The batched fit path above the direct-kernel VMEM ceiling
+    (n > 160: blocked panel Cholesky + m-chunked solves) reaches the
+    converged-scipy optimum — the 1000-wide-image final-fit scale
+    (n_train=208) that previously fell back to XLA's batch-sequential
+    cholesky."""
+    from scipy.optimize import minimize
+
+    from gaussian_process_edge_trace_tpu.trace.driver import optimize_lml
+
+    lb = np.log(np.array([0.01, 0.1, 1e-18]))
+    ub = np.log(np.array([1e3, 100.0, 1.0]))
+    rng = np.random.default_rng(7)
+    spec = KernelSpec("RBF", 2.5)
+    n, cap = 201, 208
+    x = np.sort(rng.uniform(-2, 2, size=n))
+    K = 5.0 * np.exp(-0.5 * ((x[:, None] - x[None, :]) / 0.7) ** 2)
+    y = np.linalg.cholesky(K + 1e-8 * np.eye(n)) @ rng.normal(size=n)
+    y = y + rng.normal(0, 0.3, size=n)
+    y = (y - y.mean()) / y.std()
+    xs = np.zeros(cap); ys_ = np.zeros(cap)
+    mask = np.zeros(cap, bool); nw = np.ones(cap)
+    xs[:n], ys_[:n], mask[:n] = x, y, True
+    starts = np.concatenate(
+        [np.clip(np.log([[5.0, 5.0, 1.0]]), lb, ub),
+         rng.uniform(lb, ub, size=(12, 3))])
+
+    def neg(theta):
+        return -gpr.log_marginal_likelihood(
+            spec, jnp.asarray(xs), jnp.asarray(ys_), jnp.asarray(mask),
+            jnp.asarray(theta), jnp.asarray(nw), jitter=1e-6)
+
+    nvg = jax.jit(jax.value_and_grad(neg))
+
+    def sobj(t):
+        f, g = nvg(t)
+        if not np.isfinite(float(f)):
+            return 1e30, np.zeros(3)
+        return float(f), np.where(np.isfinite(g), np.asarray(g), 0.0)
+
+    best = min(float(minimize(sobj, s, jac=True, method="L-BFGS-B",
+                              bounds=list(zip(lb, ub))).fun)
+               for s in starts)
+    theta, lml = optimize_lml(
+        spec, jnp.asarray(xs), jnp.asarray(ys_), jnp.asarray(mask),
+        jnp.asarray(nw), jnp.asarray(starts), jnp.asarray(lb),
+        jnp.asarray(ub), use_batched=True)
+    assert float(-lml) <= best + 1e-3, (float(-lml), best)
