@@ -75,14 +75,33 @@ def _chol_kernel_body(a_ref, n: int):
     a_ref[...] = jnp.where(upper, 0.0, a_ref[...])
 
 
+# The solve bodies have two regimes, gated by n:
+#   - n <= _UNROLL_N: a Python-unrolled row loop with exact triangular
+#     slices (minimal flops; ~0.55 ms faster per trace at n=104).
+#   - n > _UNROLL_N: a fori_loop with an O(1)-IR full-height masked
+#     reduce per row (2× the triangular-minimal flops). The unrolled
+#     loop at n=128 drove Mosaic compile times pathological (the r3
+#     n=208 LML-fit hang), exactly like the unrolled k-loop documented
+#     on the Cholesky body — so panel sizes and larger always take the
+#     compile-light path.
+# Both regimes compute the identical substitution in the identical
+# order; equivalence across the gate is pinned by
+# tests/test_ops_numerics.py::test_solve_body_regimes_equivalent.
+_UNROLL_N = 112
+
+
 def _fwd_solve_kernel_body(l_ref, z_ref, n: int):
-    # Solve L Z = RHS in place (rhs aliased to z_ref). Substitution is
-    # row-by-row via fori_loop with a full-height masked reduce per row
-    # (finished rows j < i read back from the output ref; unfinished rows
-    # are masked to zero). 2× the triangular-minimal flops, but the IR is
-    # O(1) per step — a Python-unrolled row loop at n=128 drove Mosaic
-    # compile times pathological (the r3 n=208 LML-fit hang), exactly
-    # like the unrolled k-loop documented on the Cholesky body.
+    # Solve L Z = RHS in place (rhs aliased to z_ref); finished rows
+    # j < i read back from the output ref (read-after-write).
+    if n <= _UNROLL_N:
+        for i in range(n):
+            acc = z_ref[i, :, :]
+            if i > 0:
+                acc = acc - jnp.sum(l_ref[i, :i, :][:, None, :]
+                                    * z_ref[:i, :, :], axis=0)
+            z_ref[i, :, :] = acc / l_ref[i, i, :][None, :]
+        return
+
     rows3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
@@ -102,6 +121,15 @@ def _bwd_solve_kernel_body(lt_ref, z_ref, n: int):
     # transposes outside the kernel) so "column i of L" is the leading-dim
     # row read Mosaic supports; otherwise mirrors the forward body with
     # the j > i mask and a reversed row order.
+    if n <= _UNROLL_N:
+        for i in range(n - 1, -1, -1):
+            acc = z_ref[i, :, :]
+            if i < n - 1:
+                acc = acc - jnp.sum(lt_ref[i, i + 1:, :][:, None, :]
+                                    * z_ref[i + 1:, :, :], axis=0)
+            z_ref[i, :, :] = acc / lt_ref[i, i, :][None, :]
+        return
+
     rows3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 

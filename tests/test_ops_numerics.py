@@ -172,6 +172,36 @@ def test_interp_kernels_bitwise_equivalent():
     np.testing.assert_allclose(two_level, gather, rtol=2e-6, atol=2e-7)
 
 
+def test_solve_body_regimes_equivalent(monkeypatch):
+    """The two solve-kernel regimes — the Python-unrolled exact-slice
+    row loop (n <= _UNROLL_N, minimal flops) and the compile-light
+    fori_loop with full-height masked reduces (larger n) — perform the
+    identical substitution in the identical order; forcing the gate to 0
+    must reproduce the unrolled result to reduction-tree rounding (the
+    masked reduce sums exact zeros over a longer extent, which regroups
+    the pairwise summation by an ulp)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import gaussian_process_edge_trace_tpu.ops.pallas_chol as pc
+
+    rng = np.random.default_rng(7)
+    B, n, m = 3, 17, 9
+    A = rng.normal(size=(B, n, n))
+    K = jnp.asarray(A @ np.transpose(A, (0, 2, 1)) + n * np.eye(n))
+    L = pc.batched_cholesky(K)
+    rhs = jnp.asarray(rng.normal(size=(B, n, m)))
+    fwd_unrolled = np.asarray(pc._batched_solve_impl(L, rhs, True))
+    bwd_unrolled = np.asarray(pc._batched_solve_impl(L, rhs, False))
+    monkeypatch.setattr(pc, "_UNROLL_N", 0)
+    fwd_fori = np.asarray(pc._batched_solve_impl(L, rhs, True))
+    bwd_fori = np.asarray(pc._batched_solve_impl(L, rhs, False))
+    np.testing.assert_allclose(fwd_unrolled, fwd_fori,
+                               rtol=1e-14, atol=1e-16)
+    np.testing.assert_allclose(bwd_unrolled, bwd_fori,
+                               rtol=1e-14, atol=1e-16)
+
+
 def test_mchunked_solves_match_jnp(monkeypatch):
     """Wide-RHS solves chunk the RHS along m so the aliased VMEM block
     stays feasible (the K⁻¹ identity solves in batched_lml at large n).
