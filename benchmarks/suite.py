@@ -126,10 +126,16 @@ def main():
         rb = trace_batch_vmap(cfgb, datab, statesb)
         dice_b = [float(gpt.trace_dicecoef(
             np.asarray(rb.edge_trace)[f], eds[f])) for f in range(B)]
+        # Under vmap the while_loop runs until the SLOWEST frame
+        # converges, so per-trace cost scales with max-iters over the
+        # batch — emit the iteration spread to attribute B-dependence.
+        it_b = np.asarray(rb.n_iters).astype(int)
         emit(f"1b_batch_serving_B{B}", ms / B,
              total_ms=round(ms, 1),
              traces_per_s=round(B / (ms / 1e3), 1),
-             dice_median=round(float(np.median(dice_b)), 4))
+             dice_median=round(float(np.median(dice_b)), 4),
+             iters_median=int(np.median(it_b)),
+             iters_max=int(it_b.max()))
 
     # ---- config 2: preprocessing sweep ------------------------------------
     for ksz in [(5, 3), (11, 5), (15, 7)]:

@@ -130,13 +130,18 @@ def screen_and_polish(neg, starts, lb, ub, n_polish=8, iters=6,
 def lml_screen_grid(lb, ub, dtype=jnp.float32):
     """Static screen grid over the (log c, log ℓ, log σn²) LML box.
 
-    5×5 over the kernel hyperparameters crossed with the noise decades
+    4×4 over the kernel hyperparameters crossed with the noise decades
     that matter (the LML is flat in log-noise once the noise is far below
     the signal) — appended to the reference's 13 random starts, this makes
     the batched screen a global search the short Newton polish can trust.
+    96 + 13 starts fit ONE 128-lane Pallas Cholesky group; the earlier
+    5×5 grid (163 total) forced two sequential lane groups and measured
+    ~0.4 ms slower per final fit with no effect on the scipy-gap sweep
+    (the c/ℓ dims are smooth — the Newton polish recovers a coarser
+    screen; the noise decades are what the polish cannot basin-hop).
     """
-    cs = jnp.linspace(lb[0], ub[0], 5)
-    ls = jnp.linspace(lb[1], ub[1], 5)
+    cs = jnp.linspace(lb[0], ub[0], 4)
+    ls = jnp.linspace(lb[1], ub[1], 4)
     nz = jnp.clip(jnp.log(jnp.asarray(
         [1e-18, 1e-8, 1e-4, 1e-2, 1e-1, 0.5])), lb[2], ub[2])
     G = jnp.stack(jnp.meshgrid(cs, ls, nz, indexing="ij"),

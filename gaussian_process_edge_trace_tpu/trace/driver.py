@@ -423,7 +423,7 @@ def _final_fit(cfg: TracerConfig, data: TracerData, key, state: TraceState):
 
 
 def optimize_lml(kernel: KernelSpec, xs, ys, mask, noise_w, starts, lb, ub,
-                 jitter=1e-6, n_polish=8, polish_iters=5,
+                 jitter=1e-6, n_polish=8, polish_iters=4,
                  use_batched=None):
     """Maximise the LML over θ = (log c, log ℓ, log σn²) within [lb, ub].
 
