@@ -53,10 +53,16 @@ def main():
     t0 = time.perf_counter()
     res = jax.block_until_ready(run_trace(cfg, data, state0))
     log(f"first call (incl compile): {time.perf_counter() - t0:.2f}s")
+    # Timed loops force completion by FETCHING a scalar result leaf —
+    # block_until_ready through the tunnel is not reliably a wait
+    # (observed r3: it sometimes returns at ~1 RTT with the program
+    # still running); a materialised host value cannot lie. Cost is the
+    # same ~1 round trip when block does work.
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        res = jax.block_until_ready(run_trace(cfg, data, state0))
+        res = run_trace(cfg, data, state0)
+        _ = int(np.asarray(res.n_iters))
         times.append(time.perf_counter() - t0)
     tpu_ms = float(np.median(times) * 1e3)
     pred = np.asarray(res.edge_trace)
@@ -109,7 +115,8 @@ def main():
     bt = []
     for _ in range(3):
         t0 = time.perf_counter()
-        rb = jax.block_until_ready(trace_batch_vmap(cfg, datab, statesb))
+        rb = trace_batch_vmap(cfg, datab, statesb)
+        _ = np.asarray(rb.n_iters)          # force completion (see above)
         bt.append(time.perf_counter() - t0)
     batch_s = float(np.median(bt))
     batch_dice = sorted(float(gpt.trace_dicecoef(

@@ -29,12 +29,20 @@ def _sync_median(fn, *args, n=5):
     import jax.numpy as jnp
     global _BASELINE_MS
 
+    def fetch(out):
+        # block_until_ready through the tunnel is not reliably a wait
+        # (observed r3); materialise one element of the first output
+        # leaf instead. The extra round trip cancels in the baseline
+        # subtraction (utils/profiling.sync_timer does the same).
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return np.asarray(leaf[(0,) * leaf.ndim])
+
     def med(f, *a, k=n):
-        jax.block_until_ready(f(*a))
+        fetch(f(*a))
         ts = []
         for _ in range(k):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*a))
+            fetch(f(*a))
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[len(ts) // 2] * 1e3
 

@@ -88,12 +88,23 @@ def sync_timer(fn, *args, n=10):
     ident = jax.jit(lambda v: v + 1.0)
     x = jnp.ones((8,), jnp.float32)
 
+    def _fetch_scalar(out):
+        # ``block_until_ready`` through the tunnel is not reliably a
+        # wait (it sometimes no-ops even after the process has fetched —
+        # observed r3), so completion is forced by materialising ONE
+        # element of the first output leaf on the host. The extra
+        # slice-dispatch + round trip applies identically to the
+        # identity baseline and cancels in the subtraction.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        import numpy as _np
+        return _np.asarray(leaf[(0,) * leaf.ndim])
+
     def med(f, *a, k=n):
-        jax.block_until_ready(f(*a))
+        _fetch_scalar(f(*a))
         ts = []
         for _ in range(k):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*a))
+            _fetch_scalar(f(*a))
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[len(ts) // 2]
 
