@@ -181,17 +181,53 @@ def trace_batch_vmap(cfg: TracerConfig, data: TracerData,
     return _trace_local(cfg, data, states0, 1, None)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _sequence_frame(cfg: TracerConfig, grad_img, init_xy, L_unit, x_grid,
+                    user_x, user_y, user_valid) -> TraceResult:
+    """One fully-fused sequence frame: per-frame preprocessing, warm-start
+    state assembly and the complete trace in a SINGLE dispatch, so the
+    frame-to-frame handoff never leaves the device (the eager version
+    cost ~5 host round trips/frame: make_data, per-leaf ``device_get``,
+    warm-obs re-upload — ~131 ms/frame through the ~26 ms tunnel)."""
+    from gaussian_process_edge_trace_tpu.trace.driver import run_trace
+
+    g, gkde, gcols, ix, iy = frame_arrays(cfg, grad_img, init_xy)
+    data = TracerData(grad_img=g, grad_kde=gkde, grad_cols=gcols,
+                      L_prior_unit=L_unit, x_grid=x_grid, init_x=ix,
+                      init_y=iy)
+    U = cfg.n_user_obs
+    user_x = user_x.astype(jnp.int32)
+    user_y = user_y.astype(jnp.int32)
+    user_valid = user_valid.astype(bool)
+    if user_x.shape[0] > U:
+        # The previous frame's (U+B,) observation buffer exceeds this
+        # config's warm-start capacity: compact valid entries to the
+        # front (stable — preserves bin order, like the host version's
+        # boolean-index-then-truncate) and keep the first U.
+        order = jnp.argsort(~user_valid, stable=True)[:U]
+        user_x, user_y = user_x[order], user_y[order]
+        user_valid = user_valid[order]
+    pad = U - user_x.shape[0]
+    xy = jnp.stack([jnp.pad(user_x, (0, pad)),
+                    jnp.pad(user_y, (0, pad))], axis=1)
+    valid = jnp.pad(user_valid, (0, pad))
+    state = init_state(cfg, user_obs_xy=xy, user_obs_valid=valid)
+    return run_trace(cfg, data, state)
+
+
 def trace_sequence(cfg: TracerConfig, grad_imgs, inits):
     """Sequentially trace an image sequence, warm-starting each frame from
     the previous frame's accepted observations (BASELINE.json config 5;
     the reference's ``obs`` propagation mechanism, gpet.py:57-61).
 
     Sequential in time by construction (each frame consumes the previous
-    frame's result); independent sequences batch via
-    :func:`sharded_trace_batch`.
+    frame's result) — but entirely on-device: each frame is one fused
+    dispatch consuming the previous frame's observation buffers directly
+    (bin-slot order with validity mask; the GP is mask/permutation
+    invariant, so this matches the compacted-prefix form up to float
+    reassociation), and results are fetched once at the end. Independent
+    sequences batch via :func:`sharded_trace_batch`.
     """
-    from gaussian_process_edge_trace_tpu.trace.driver import run_trace
-
     # Warm-started frames share ONE fixed-capacity config (user-obs slots
     # padded to the bin count + mask) so every frame after the first hits
     # the same compiled executable.
@@ -202,27 +238,26 @@ def trace_sequence(cfg: TracerConfig, grad_imgs, inits):
     cfg_cold = cfg._replace(
         n_user_obs=0,
         n_train=_round_up(cfg.n_inits + cfg.bins.n_bins, 8))
+    L_unit, x_grid = prior_factor(cfg_cold)
 
+    # ONE bulk upload for all frames (a per-frame ``jnp.asarray`` costs a
+    # tunnel round trip each once the runtime is in synchronous-dispatch
+    # mode), then the dispatch chain, then ONE bulk fetch.
+    grad_dev, init_dev = jax.device_put(
+        (list(np.asarray(g) for g in grad_imgs),
+         list(np.asarray(i) for i in inits)))
     results = []
-    user_obs = None
+    prev = None
+    empty = jnp.zeros((0,), jnp.int32)
     for f in range(len(grad_imgs)):
-        if user_obs is None:
-            cfg_f = cfg_cold
-            state_kw = {}
+        if prev is None:
+            res = _sequence_frame(cfg_cold, grad_dev[f], init_dev[f],
+                                  L_unit, x_grid,
+                                  empty, empty, empty.astype(bool))
         else:
-            cfg_f = cfg_warm
-            n_user = min(user_obs.shape[0], u_cap)
-            padded = np.zeros((u_cap, 2), np.int64)
-            padded[:n_user] = user_obs[:n_user]
-            valid = np.zeros((u_cap,), bool)
-            valid[:n_user] = True
-            state_kw = {"user_obs_xy": padded, "user_obs_valid": valid}
-        data_f = make_data(cfg_f, jnp.asarray(grad_imgs[f]),
-                           jnp.asarray(inits[f]))
-        state_f = init_state(cfg_f, **state_kw)
-        res = jax.device_get(run_trace(cfg_f, data_f, state_f))
+            res = _sequence_frame(cfg_warm, grad_dev[f], init_dev[f],
+                                  L_unit, x_grid,
+                                  prev.obs_x, prev.obs_y, prev.obs_valid)
         results.append(res)
-        valid = np.asarray(res.obs_valid)
-        user_obs = np.stack([np.asarray(res.obs_x)[valid],
-                             np.asarray(res.obs_y)[valid]], axis=1)
-    return results
+        prev = res
+    return jax.device_get(results)
