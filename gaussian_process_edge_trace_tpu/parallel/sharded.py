@@ -195,24 +195,29 @@ def _sequence_frame(cfg: TracerConfig, grad_img, init_xy, L_unit, x_grid,
     data = TracerData(grad_img=g, grad_kde=gkde, grad_cols=gcols,
                       L_prior_unit=L_unit, x_grid=x_grid, init_x=ix,
                       init_y=iy)
-    U = cfg.n_user_obs
+    xy, valid = _compact_warm_obs(user_x, user_y, user_valid,
+                                  cfg.n_user_obs)
+    state = init_state(cfg, user_obs_xy=xy, user_obs_valid=valid)
+    return run_trace(cfg, data, state)
+
+
+def _compact_warm_obs(user_x, user_y, user_valid, U: int):
+    """Fit a warm-start observation buffer to capacity ``U``: when the
+    previous frame's (U+B,) buffer exceeds it, compact valid entries to
+    the front (stable — preserves bin order, identical to the eager
+    version's boolean-index-then-truncate ``xy[valid][:U]``) and keep the
+    first U; shorter buffers are zero-padded with invalid slots."""
     user_x = user_x.astype(jnp.int32)
     user_y = user_y.astype(jnp.int32)
     user_valid = user_valid.astype(bool)
     if user_x.shape[0] > U:
-        # The previous frame's (U+B,) observation buffer exceeds this
-        # config's warm-start capacity: compact valid entries to the
-        # front (stable — preserves bin order, like the host version's
-        # boolean-index-then-truncate) and keep the first U.
         order = jnp.argsort(~user_valid, stable=True)[:U]
         user_x, user_y = user_x[order], user_y[order]
         user_valid = user_valid[order]
     pad = U - user_x.shape[0]
     xy = jnp.stack([jnp.pad(user_x, (0, pad)),
                     jnp.pad(user_y, (0, pad))], axis=1)
-    valid = jnp.pad(user_valid, (0, pad))
-    state = init_state(cfg, user_obs_xy=xy, user_obs_valid=valid)
-    return run_trace(cfg, data, state)
+    return xy, jnp.pad(user_valid, (0, pad))
 
 
 def trace_sequence(cfg: TracerConfig, grad_imgs, inits):

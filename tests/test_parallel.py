@@ -125,6 +125,30 @@ def test_data_axis_only_mesh():
     assert np.all(np.asarray(res.converged))
 
 
+def test_sequence_frame_warm_compaction():
+    """The fused sequence frame fits the previous frame's observation
+    buffer to the warm-start capacity: over-capacity buffers compact
+    valid-first with stable order — identical to the eager host form
+    ``xy[valid][:U]`` — and short buffers pad with invalid slots."""
+    from gaussian_process_edge_trace_tpu.parallel.sharded import (
+        _compact_warm_obs)
+
+    U = 8
+    x = jnp.arange(12, dtype=jnp.int32)
+    y = 100 + jnp.arange(12, dtype=jnp.int32)
+    valid = jnp.asarray([0, 1, 1, 0, 1, 1, 1, 1, 0, 1, 1, 1], bool)
+    xy, v = _compact_warm_obs(x, y, valid, U)
+    want = np.stack([np.asarray(x)[np.asarray(valid)][:U],
+                     np.asarray(y)[np.asarray(valid)][:U]], axis=1)
+    np.testing.assert_array_equal(np.asarray(xy), want)
+    assert bool(np.all(np.asarray(v)))
+    # Under-capacity: pad with invalid slots, originals preserved.
+    xy2, v2 = _compact_warm_obs(x[:3], y[:3], valid[:3], U)
+    assert xy2.shape == (U, 2) and v2.shape == (U,)
+    np.testing.assert_array_equal(np.asarray(xy2[:3, 0]), np.asarray(x[:3]))
+    np.testing.assert_array_equal(np.asarray(v2[3:]), False)
+
+
 @pytest.mark.slow
 def test_trace_sequence_warm_start():
     grads, inits, edges = _frames(3)
