@@ -38,26 +38,50 @@ def _pair_contributions(y0, y1, y2, h0, h1):
     )
 
 
-def simpson_nonuniform(y, x, axis=-1, even="simpson"):
+def simpson_nonuniform(y, x=None, axis=-1, even="simpson", h=None):
     """Composite Simpson integral of samples ``y`` at locations ``x``.
 
     ``y`` and ``x`` must have the same static length along ``axis``
     (length >= 2); broadcasting over leading batch axes is supported when
     ``axis == -1``. ``even`` ∈ {"simpson", "avg"} selects the
     even-point-count rule (module docstring).
+
+    The quadrature consumes ``x`` only through the interval widths
+    ``diff(x)``; callers that already hold those widths may pass them as
+    ``h`` (one element shorter than ``y``) instead of ``x``. The curve
+    cost builds its curvilinear coordinate as ``cumsum(step)``
+    (gpet.py:397), so its widths ARE the steps — passing them directly
+    skips an O(E·S) cumsum (XLA lowers it to wide reduce-windows) plus
+    its re-differencing, which together dominated the batched-serving
+    quadrature tail. ``diff(cumsum(step))`` re-rounds each width in f32,
+    so the two call forms agree to rounding (~1 ulp per width), not
+    bitwise.
     """
     y = jnp.asarray(y)
-    x = jnp.asarray(x)
+    if (x is None) == (h is None):
+        raise ValueError("pass exactly one of x / h")
+    if x is not None:
+        x = jnp.asarray(x)
+        if axis != -1:
+            x = jnp.moveaxis(x, axis, -1)
+    else:
+        h = jnp.asarray(h)
+        if axis != -1:
+            h = jnp.moveaxis(h, axis, -1)
     if axis != -1:
         y = jnp.moveaxis(y, axis, -1)
-        x = jnp.moveaxis(x, axis, -1)
     n = y.shape[-1]
     if n < 2:
         raise ValueError("simpson needs at least 2 samples")
+    if h is not None and h.shape[-1] != n - 1:
+        raise ValueError(f"h must have n-1 = {n - 1} intervals, "
+                         f"got {h.shape[-1]}")
     if n == 2:
-        return 0.5 * (y[..., 0] + y[..., 1]) * (x[..., 1] - x[..., 0])
+        w = (x[..., 1] - x[..., 0]) if h is None else h[..., 0]
+        return 0.5 * (y[..., 0] + y[..., 1]) * w
 
-    h = jnp.diff(x, axis=-1)
+    if h is None:
+        h = jnp.diff(x, axis=-1)
 
     def _odd_block(yb, hb):
         # yb has odd length m = 2k+1; integrate over k pairs.

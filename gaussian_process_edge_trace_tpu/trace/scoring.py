@@ -73,9 +73,13 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
 
     dy = jnp.diff(y_samples, axis=0)                  # (E-1, S)
     step = jnp.sqrt(1.0 + dy * dy)                    # Euclid = integrand
-    curvilinear = jnp.cumsum(step, axis=0)            # (E-1, S)
-
-    line_integral = simpson_nonuniform(grad_score[:-1].T, curvilinear.T,
+    # The curvilinear coordinate (gpet.py:397) is cumsum(step); Simpson
+    # consumes it only through its interval widths diff(cumsum(step)) ==
+    # step[1:], so the widths are passed directly — the cumsum (an O(E·S)
+    # reduce-window chain per iteration) and its re-differencing never
+    # materialise. Agrees with the explicit-coordinate form to f32
+    # rounding of each width (~1 ulp).
+    line_integral = simpson_nonuniform(grad_score[:-1].T, h=step.T[:, 1:],
                                        even=even)
 
     # Arc-length Simpson weights are static in x (uniform unit spacing

@@ -44,6 +44,26 @@ def test_simpson_batched():
             got[i], scipy.integrate.simpson(y[i], x=x[i]), rtol=1e-4)
 
 
+@pytest.mark.parametrize("even", ["simpson", "avg"])
+@pytest.mark.parametrize("n", [2, 3, 5, 499, 4, 6, 500])
+def test_simpson_h_form_matches_x_form(n, even):
+    """Passing interval widths directly (h=) equals passing coordinates —
+    the curve-cost path hands Simpson its cumsum-free steps this way."""
+    rng = np.random.RandomState(n)
+    h = 0.1 + rng.rand(n - 1)
+    x = np.concatenate([[0.5], 0.5 + np.cumsum(h)])
+    y = np.cos(x) * x
+    via_x = float(simpson_nonuniform(y, x, even=even))
+    via_h = float(simpson_nonuniform(y, h=h, even=even))
+    np.testing.assert_allclose(via_h, via_x, rtol=1e-12)
+    with pytest.raises(ValueError):
+        simpson_nonuniform(y, x, h=h)
+    with pytest.raises(ValueError):
+        simpson_nonuniform(y)
+    with pytest.raises(ValueError):
+        simpson_nonuniform(y, h=h[:-1])
+
+
 def test_simpson_weights_dot_product():
     x = np.linspace(0, 1, 9)
     w = np.asarray(simpson_weights(x))
