@@ -35,12 +35,19 @@ def main():
     _ = float(jnp.sum(jnp.ones((8,))))
     base = None
 
+    def _fetch_scalar(out):
+        # block_until_ready through the tunnel is not reliably a wait
+        # (CLAUDE.md measurement gotcha) — force completion by
+        # materialising one element of the first output leaf.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
     def med(f, *a, k=9):
-        jax.block_until_ready(f(*a))
+        _fetch_scalar(f(*a))
         ts = []
         for _ in range(k):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*a))
+            _fetch_scalar(f(*a))
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[len(ts) // 2] * 1e3
 

@@ -82,37 +82,64 @@ def _column_interp_pallas(cols, ys):
 _H = 16  # two-level inner block size (hi = i0 // 16, lo = i0 - 16*hi)
 
 
-def _interp_kernel_2l(col2d_ref, y_ref, out_ref):
-    # col2d_ref: (BLK, _H+1, L) overlapped row blocks; y/out: (BLK, S).
-    # Two-level decomposition on the VPU: a (L, S) one-hot selects each
-    # sample's 17-row block (2 passes over L*(17)*S elements), then a
-    # 17-tap hat interpolates inside it — ~2.5x fewer elementwise ops
-    # than the direct (S, M) hat at M=500. Bitwise-identical output on
-    # TPU (A/B'd on-device): ylo = y - 16*hi is exact in f32 (the
-    # subtrahend is an integer below the mantissa range) and every
-    # reduction adds exact zeros; the CPU interpreter's FMA groupings can
-    # differ by 1 ulp at block boundaries (tests assert ulp agreement).
-    L = col2d_ref.shape[2]
+def _split3_bf16(c):
+    """Exact 3-way bf16 split: ``h1 + h2 + h3 == c`` bitwise (f32).
+
+    Each round-to-nearest bf16 component removes >= 8 mantissa bits and
+    each residual subtraction is exact (the operands agree in their
+    leading bits), so three components cover the full 24-bit f32
+    mantissa (r2 retains <= 8 significant bits and converts exactly).
+    Lets a matmul whose OTHER operand is exactly bf16-representable (a
+    0/1 one-hot) run as 3 single-pass bf16 MXU products instead of
+    Precision.HIGHEST's 6 — same bits out.
+
+    The rounding MUST be ``lax.reduce_precision`` (an op XLA is required
+    to preserve), not an ``astype`` round trip: under jit the algebraic
+    simplifier folds ``convert_f32(convert_bf16(x)) -> x`` (excess-
+    precision elision), which silently zeroes the residuals and degrades
+    the select to one bf16 pass (observed in-program: 2e-3 error).
+    """
+    h1 = jax.lax.reduce_precision(c, exponent_bits=8, mantissa_bits=7)
+    r1 = c - h1
+    h2 = jax.lax.reduce_precision(r1, exponent_bits=8, mantissa_bits=7)
+    r2 = r1 - h2
+    return (h1.astype(jnp.bfloat16), h2.astype(jnp.bfloat16),
+            r2.astype(jnp.bfloat16))
+
+
+def _interp_kernel_2l(col6_ref, y_ref, out_ref):
+    # col6_ref: (BLK, 3*(_H+1), L) bf16 — the overlapped row blocks'
+    # three exact bf16 split components stacked along the tap axis;
+    # y/out: (BLK, S). Two-level decomposition: a (L, S) one-hot selects
+    # each sample's 17-row block, then a 17-tap hat interpolates inside
+    # it — ~2.5x fewer elementwise ops than the direct (S, M) hat at
+    # M=500. The block select runs as ONE fused (51, L) @ (L, S)
+    # DEFAULT-precision bf16 MXU dot over the stacked splits, re-summed
+    # to f32 taps: every product against the 0/1 one-hot is exact and
+    # h1+h2+h3 == c2 bitwise, so the result is bitwise-identical to the
+    # HIGHEST-precision f32 dot it replaces at half the MXU passes
+    # (0.105 -> 0.052 ms/call, device-profiled 20-call chains on v5e;
+    # the unsplit VPU multiply+reduce was 0.222). ylo = y - 16*hi is
+    # exact in f32 and every reduction adds exact zeros; the CPU
+    # interpreter's FMA groupings can differ by 1 ulp at block
+    # boundaries (tests assert ulp agreement).
+    L = col6_ref.shape[2]
     S = y_ref.shape[1]
+    T = _H + 1
     M_cap = L * _H
     hs = jax.lax.broadcasted_iota(jnp.int32, (L, S), 0)
-    ts = jax.lax.broadcasted_iota(jnp.int32, (_H + 1, S), 0).astype(
+    ts = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0).astype(
         jnp.float32)
     for j in range(_BLK):
         y = jnp.clip(y_ref[j, :], 0.0, M_cap - 1.0)
         hi = jnp.floor(y).astype(jnp.int32) // _H
         ylo = y - (hi * _H).astype(jnp.float32)           # exact
-        onehot = (hs == hi[None, :]).astype(jnp.float32)  # (L, S)
-        c2 = col2d_ref[j]                                 # (17, L)
-        # Block select on the MXU: each output column has exactly one
-        # nonzero one-hot entry and HIGHEST precision makes f32 products
-        # exact, so this dot is bitwise-identical to the VPU
-        # multiply+reduce it replaces — and 2.1x faster on v5e
-        # (0.105 vs 0.222 ms/call, device-profiled 20-call chains).
-        tmp = jax.lax.dot_general(
-            c2, onehot, (((1,), (0,)), ((), ())),
+        onehot = (hs == hi[None, :]).astype(jnp.bfloat16)  # (L, S)
+        big = jax.lax.dot_general(
+            col6_ref[j], onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # (17, S)
+            precision=jax.lax.Precision.DEFAULT)          # (3T, S)
+        tmp = (big[:T] + big[T:2 * T]) + big[2 * T:]      # == c2 select
         hat = jnp.maximum(0.0, 1.0 - jnp.abs(ylo[None, :] - ts))
         out_ref[j, :] = jnp.sum(hat * tmp, axis=0)
 
@@ -133,6 +160,9 @@ def _column_interp_pallas_2l(cols, ys):
     # crosses a block boundary); loop-invariant, built once per call.
     col2d = jnp.stack([colsp[:, t:t + (L - 1) * _H + 1:_H]
                        for t in range(_H + 1)], axis=1)   # (E_pad, 17, L)
+    # Exact bf16 splits stacked on the tap axis (kernel docstring); built
+    # outside the kernel so XLA hoists them out of the trace while-loop.
+    col6 = jnp.concatenate(_split3_bf16(col2d), axis=1)   # (E_pad, 51, L)
     # Block the sample axis: the kernel's (17, L, s_blk) mul-reduce
     # intermediate must stay inside VMEM (43 MB unblocked at S=10⁴).
     # Floor the BUDGET to lanes, then take S whole if it fits — the demo
@@ -148,7 +178,7 @@ def _column_interp_pallas_2l(cols, ys):
         _interp_kernel_2l,
         grid=(E_pad // _BLK, S_pad // s_blk),
         in_specs=[
-            pl.BlockSpec((_BLK, _H + 1, L), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((_BLK, 3 * (_H + 1), L), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BLK, s_blk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -157,7 +187,7 @@ def _column_interp_pallas_2l(cols, ys):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E_pad, S_pad), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(col2d, ysp)
+    )(col6, ysp)
     return out[:E, :S]
 
 
