@@ -79,7 +79,12 @@ def _column_interp_pallas(cols, ys):
     return out[:E, :S]
 
 
-_H = 16  # two-level inner block size (hi = i0 // 16, lo = i0 - 16*hi)
+_H = 4  # two-level inner block size (hi = i0 // _H, lo = i0 - _H*hi).
+# Swept on v5e at (E,M,S)=(500,500,1000): _H=4 → 39.3 us/call, _H=8 →
+# 39.8, _H=16 → 54.0 — at _H=4 the select's contraction dim L=M/4≈125
+# fills the MXU's 128 lanes exactly and the hat shrinks to 5 taps;
+# output values are bitwise-identical across _H (the one-hot/hat sums
+# only ever add exact zeros in a different pattern).
 
 
 def _split3_bf16(c):
@@ -111,18 +116,20 @@ def _interp_kernel_2l(col6_ref, y_ref, out_ref):
     # col6_ref: (BLK, 3*(_H+1), L) bf16 — the overlapped row blocks'
     # three exact bf16 split components stacked along the tap axis;
     # y/out: (BLK, S). Two-level decomposition: a (L, S) one-hot selects
-    # each sample's 17-row block, then a 17-tap hat interpolates inside
-    # it — ~2.5x fewer elementwise ops than the direct (S, M) hat at
-    # M=500. The block select runs as ONE fused (51, L) @ (L, S)
-    # DEFAULT-precision bf16 MXU dot over the stacked splits, re-summed
+    # each sample's (_H+1)-row block, then an (_H+1)-tap hat
+    # interpolates inside it — far fewer elementwise ops than the direct
+    # (S, M) hat at M=500. The block select runs as ONE fused
+    # (3*(_H+1), L) @ (L, S) DEFAULT-precision bf16 MXU dot over the
+    # stacked splits, re-summed
     # to f32 taps: every product against the 0/1 one-hot is exact and
     # h1+h2+h3 == c2 bitwise, so the result is bitwise-identical to the
     # HIGHEST-precision f32 dot it replaces at half the MXU passes
-    # (0.105 -> 0.052 ms/call, device-profiled 20-call chains on v5e;
-    # the unsplit VPU multiply+reduce was 0.222). ylo = y - 16*hi is
-    # exact in f32 and every reduction adds exact zeros; the CPU
-    # interpreter's FMA groupings can differ by 1 ulp at block
-    # boundaries (tests assert ulp agreement).
+    # (device-profiled 20-call chains on v5e at _H=16: HIGHEST 0.105 →
+    # split 0.052 ms/call; the _H=4 retune brings it to 0.039; the
+    # unsplit VPU multiply+reduce was 0.222). ylo = y - _H*hi is exact
+    # in f32 and every reduction adds exact zeros; the CPU interpreter's
+    # FMA groupings can differ by 1 ulp at block boundaries (tests
+    # assert ulp agreement).
     L = col6_ref.shape[2]
     S = y_ref.shape[1]
     T = _H + 1
@@ -159,12 +166,13 @@ def _column_interp_pallas_2l(cols, ys):
     # col2d[e, t, h] = colsp[e, h*_H + t] (overlapped so i0+1 never
     # crosses a block boundary); loop-invariant, built once per call.
     col2d = jnp.stack([colsp[:, t:t + (L - 1) * _H + 1:_H]
-                       for t in range(_H + 1)], axis=1)   # (E_pad, 17, L)
+                       for t in range(_H + 1)], axis=1)   # (E_pad, T, L)
     # Exact bf16 splits stacked on the tap axis (kernel docstring); built
     # outside the kernel so XLA hoists them out of the trace while-loop.
-    col6 = jnp.concatenate(_split3_bf16(col2d), axis=1)   # (E_pad, 51, L)
-    # Block the sample axis: the kernel's (17, L, s_blk) mul-reduce
-    # intermediate must stay inside VMEM (43 MB unblocked at S=10⁴).
+    col6 = jnp.concatenate(_split3_bf16(col2d), axis=1)   # (E_pad, 3T, L)
+    # Block the sample axis: the kernel's (T, L, s_blk) mul-reduce
+    # intermediate must stay inside VMEM (unblocked it blows up at
+    # S=10⁴).
     # Floor the BUDGET to lanes, then take S whole if it fits — the demo
     # S=1000 must stay a single exact-width block.
     budget = max(128, ((1 << 22) // (4 * (_H + 1) * L) // 128) * 128)
