@@ -192,6 +192,36 @@ def test_interp_kernels_bitwise_equivalent():
     np.testing.assert_allclose(two_level, gather, rtol=2e-6, atol=2e-7)
 
 
+def test_split3_bf16_exact_reconstruction():
+    """The interp kernel's 3-way bf16 split reconstructs every f32
+    bitwise (h1+h2+h3 == c), including under jit — an astype round trip
+    instead of lax.reduce_precision gets folded away by XLA's excess-
+    precision elision and silently loses the residuals."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_process_edge_trace_tpu.ops.pallas_interp import \
+        _split3_bf16
+
+    rng = np.random.default_rng(7)
+    c = jnp.asarray(np.concatenate([
+        rng.random(512) * 2 - 1,
+        rng.random(64) * 1e-6,          # tiny magnitudes
+        np.float32(1) + rng.random(64) * np.float32(2**-20),  # dense ulps
+        [0.0, 1.0, -1.0, np.float32(2**-30)]]), jnp.float32)
+
+    def recon(c):
+        h1, h2, h3 = _split3_bf16(c)
+        return (h1.astype(jnp.float32) + h2.astype(jnp.float32)
+                ) + h3.astype(jnp.float32)
+
+    for f in (recon, jax.jit(recon)):
+        got = np.asarray(f(c))
+        assert np.array_equal(got.view(np.int32),
+                              np.asarray(c).view(np.int32))
+
+
 def test_solve_body_regimes_equivalent(monkeypatch):
     """The two solve-kernel regimes — the Python-unrolled exact-slice
     row loop (n <= _UNROLL_N, minimal flops) and the compile-light
