@@ -20,37 +20,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-_BASELINE_MS = None
+def _device_ms(fn, *args):
+    """DEVICE time of one ``fn(*args)`` dispatch, from a profiler trace.
 
-
-def _sync_median(fn, *args, n=5):
-    """Median device time of one dispatch, dispatch-baseline corrected."""
-    import jax
-    import jax.numpy as jnp
-    global _BASELINE_MS
-
-    def fetch(out):
-        # block_until_ready through the tunnel is not reliably a wait
-        # (observed r3); materialise one element of the first output
-        # leaf instead. The extra round trip cancels in the baseline
-        # subtraction (utils/profiling.sync_timer does the same).
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return np.asarray(leaf[(0,) * leaf.ndim])
-
-    def med(f, *a, k=n):
-        fetch(f(*a))
-        ts = []
-        for _ in range(k):
-            t0 = time.perf_counter()
-            fetch(f(*a))
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[len(ts) // 2] * 1e3
-
-    _ = float(jnp.sum(jnp.ones((8,))))   # force synchronous dispatch mode
-    if _BASELINE_MS is None:
-        _BASELINE_MS = med(jax.jit(lambda v: v + 1.0), jnp.ones((8,)), k=20)
-        log(f"dispatch baseline: {_BASELINE_MS:.1f} ms")
-    return max(med(fn, *args) - _BASELINE_MS, 0.0)
+    Wall-minus-dispatch medians overcorrect below ~5 ms through the
+    tunnel — device compute overlaps the host round trip, so the
+    difference clamps toward 0 (the round-3 suite printed 0.0 for the
+    1.4 ms LML row). The device timeline total is the authoritative
+    number for single-dispatch rows (CLAUDE.md measurement gotcha)."""
+    from gaussian_process_edge_trace_tpu.utils.profiling import (
+        device_op_breakdown)
+    return device_op_breakdown(fn, *args, top=1)[0][0]
 
 
 def main():
@@ -88,7 +68,7 @@ def main():
                       keep_ratio=0.1, pixel_thresh=5, seed=1,
                       fix_endpoints=True)
     data = make_data(cfg, grad, jnp.asarray(init))
-    ms = _sync_median(run_trace, cfg, data, init_state(cfg))
+    ms = _device_ms(run_trace, cfg, data, init_state(cfg))
     res = run_trace(cfg, data, init_state(cfg))
     from benchmarks.flops import device_peak_flops, trace_flops
 
@@ -130,7 +110,7 @@ def main():
                            seed=1, fix_endpoints=True)
         datab = make_batch_data(cfgb, gs, ins)
         statesb = make_batch_state(cfgb, B)
-        ms = _sync_median(trace_batch_vmap, cfgb, datab, statesb, n=3)
+        ms = _device_ms(trace_batch_vmap, cfgb, datab, statesb)
         rb = trace_batch_vmap(cfgb, datab, statesb)
         dice_b = [float(gpt.trace_dicecoef(
             np.asarray(rb.edge_trace)[f], eds[f])) for f in range(B)]
@@ -149,14 +129,14 @@ def main():
     for ksz in [(5, 3), (11, 5), (15, 7)]:
         k = gpt.kernel_builder(ksz, unit=False)  # host constant
         f = (lambda kk: (lambda im: gpt.comp_grad_img(im, kk)))(k)
-        ms = _sync_median(f, jnp.asarray(test_img))
+        ms = _device_ms(f, jnp.asarray(test_img))
         emit(f"2_grad_img_500_k{ksz[0]}x{ksz[1]}", ms)
 
     # ---- config 3: hyperparameter-optimisation path -----------------------
     state = init_state(cfg)
     for _ in range(int(res.n_iters)):
         state, _ = trace_step(cfg, data, state)
-    ms = _sync_median(finish_trace, cfg, data, state, n=3)
+    ms = _device_ms(finish_trace, cfg, data, state)
     emit("3_lml_optimisation_13starts", ms,
          lml=float(res.lml))
 
@@ -173,7 +153,7 @@ def main():
             noise_y=1, N_samples=n_samples, score_thresh=1, delta_x=5,
             keep_ratio=0.1, pixel_thresh=5, seed=1, fix_endpoints=True)
         data4 = make_data(cfg4, big_grad, jnp.asarray(big_init))
-        ms = _sync_median(run_trace, cfg4, data4, init_state(cfg4), n=3)
+        ms = _device_ms(run_trace, cfg4, data4, init_state(cfg4))
         r4 = run_trace(cfg4, data4, init_state(cfg4))
         emit(f"4_trace_1000_S{n_samples}", ms,
              mse=float(gpt.trace_MSE(np.asarray(r4.edge_trace), big_edge)),
