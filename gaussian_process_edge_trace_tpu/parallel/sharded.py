@@ -82,6 +82,10 @@ def _sharded_single_trace(cfg: TracerConfig, data: TracerData,
                           sample_axis) -> TraceResult:
     """One full trace, optionally sample-sharded over ``sample_axis``."""
     key = jax.random.PRNGKey(cfg.seed)
+    # Loop-invariant blur factors, hoisted out of the while body (see
+    # kde.blur_matrices; bitwise-identical ops).
+    from gaussian_process_edge_trace_tpu.trace.kde import blur_matrices
+    blur = blur_matrices(cfg.M, cfg.N, data.grad_kde.dtype)
 
     def cond(s):
         return (s.n_fobs < cfg.algo_thresh) & (s.it < cfg.max_iters)
@@ -89,7 +93,8 @@ def _sharded_single_trace(cfg: TracerConfig, data: TracerData,
     def body(s):
         new_state, _ = _iteration(cfg, data, key, s,
                                   sample_axis=sample_axis,
-                                  n_sample_shards=n_sample_shards)
+                                  n_sample_shards=n_sample_shards,
+                                  blur=blur)
         return new_state
 
     state = jax.lax.while_loop(cond, body, state0)

@@ -58,7 +58,9 @@ from gaussian_process_edge_trace_tpu.models.gpr import (
     masked_mean, masked_std)
 from gaussian_process_edge_trace_tpu.models.kernels import (
     KernelSpec, resolve_kernel_options)
-from gaussian_process_edge_trace_tpu.trace.kde import curve_kde, gradient_kde
+from gaussian_process_edge_trace_tpu.trace.kde import (blur_matrices,
+                                                       curve_kde,
+                                                       gradient_kde)
 from gaussian_process_edge_trace_tpu.trace.scoring import (
     best_curves, curve_costs)
 from gaussian_process_edge_trace_tpu.trace.select import (
@@ -338,7 +340,8 @@ def _sample_round(cfg: TracerConfig, data: TracerData, x, y, mask, noise_w,
 
 
 def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState,
-               sample_axis: Optional[str] = None, n_sample_shards: int = 1):
+               sample_axis: Optional[str] = None, n_sample_shards: int = 1,
+               blur=None):
     """One outer-loop iteration (gpet.py:829-861).
 
     With ``sample_axis`` set (inside :func:`shard_map` over a mesh axis of
@@ -387,7 +390,7 @@ def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState,
             sample_axis)                                  # (E, N_keep)
     inv = 1.0 / bcosts
     weights = inv / jnp.sum(inv)                          # gpet.py:492-493
-    kde_arr = curve_kde(bc, weights, cfg.M, cfg.N, cfg.x_st)
+    kde_arr = curve_kde(bc, weights, cfg.M, cfg.N, cfg.x_st, blur=blur)
     opt_curve, opt_cost = bc[:, 0], bcosts[0]
 
     # Previous observations = user warm-start ∪ binned buffer.
@@ -600,11 +603,16 @@ def run_trace(cfg: TracerConfig, data: TracerData,
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
 
+    # Loop-invariant blur factors, built once OUTSIDE the while loop
+    # (see kde.blur_matrices — XLA re-ran the inline build every
+    # iteration). Bitwise-identical ops, hoisted placement.
+    blur = blur_matrices(cfg.M, cfg.N, data.grad_kde.dtype)
+
     def cond(s: TraceState):
         return (s.n_fobs < cfg.algo_thresh) & (s.it < cfg.max_iters)
 
     def body(s: TraceState):
-        new_state, _ = _iteration(cfg, data, key, s)
+        new_state, _ = _iteration(cfg, data, key, s, blur=blur)
         return new_state
 
     state = jax.lax.while_loop(cond, body, state0)

@@ -62,20 +62,37 @@ def _toeplitz(n, taps, dtype):
                      0.0).astype(dtype)
 
 
-def _separable_blur(grid, taps):
+def _separable_blur(grid, taps, mats=None):
     """2-D convolution with the separable kernel ``taps ⊗ taps``.
 
     Zero ('SAME') boundary — FFTKDE's linear convolution sees zeros beyond
     the evaluation grid too. Implemented as two banded-Toeplitz matmuls:
     a single-channel spatial conv wastes the MXU, while (n, n) @ grid is
-    ~100 MFLOP of dense matmul it executes in microseconds (the Toeplitz
-    constants are loop-invariant and hoisted by XLA).
+    ~100 MFLOP of dense matmul it executes in microseconds. ``mats`` are
+    precomputed ``blur_matrices`` — pass them inside loops (see there).
     """
     m, n = grid.shape
-    Ty = _toeplitz(m, taps, grid.dtype)
-    Tx = _toeplitz(n, taps, grid.dtype)
+    Ty, Tx = mats if mats is not None else (
+        _toeplitz(m, taps, grid.dtype), _toeplitz(n, taps, grid.dtype))
     out = jnp.matmul(Ty, grid, precision=jax.lax.Precision.HIGHEST)
     return jnp.matmul(out, Tx, precision=jax.lax.Precision.HIGHEST)
+
+
+def blur_matrices(M: int, N: int, dtype=jnp.float32,
+                  radius: int = DEFAULT_RADIUS, bw: float = 1.0):
+    """Loop-invariant blur Toeplitz factors (Ty, Tx) for the padded
+    (M+2, N+2) KDE grid.
+
+    Identical ops to the inline build, so the blur output is bitwise
+    unchanged — but computed ONCE before a ``lax.while_loop`` and passed
+    down as ``blur=``: XLA neither constant-folds the (n, n) build (the
+    literal exceeds its folding size cap) nor hoists it out of the loop
+    body (it fuses with loop-dependent consumers), so the inline form
+    re-ran every iteration (~6.6 us/iter on v5e at the demo shapes).
+    """
+    taps = gaussian_taps(radius, bw, dtype)
+    return (_toeplitz(M + 2, taps, dtype).astype(dtype),
+            _toeplitz(N + 2, taps, dtype).astype(dtype))
 
 
 def _minmax(grid):
@@ -86,7 +103,7 @@ def _minmax(grid):
 
 def curve_kde_raw(y_curves, weights, M: int, N: int, x_start: int,
                   radius: int = DEFAULT_RADIUS, bw: float = 1.0,
-                  use_pallas_binning: bool = False):
+                  use_pallas_binning: bool = False, blur=None):
     """Un-normalised curve KDE (binning + blur + crop, no min-max).
 
     The building block for sample-axis sharding: the blurred grid is
@@ -110,13 +127,13 @@ def curve_kde_raw(y_curves, weights, M: int, N: int, x_start: int,
     grid = jax.lax.dynamic_update_slice(grid, H, (0, x_start + 1))
 
     taps = gaussian_taps(radius, bw, dtype)
-    blurred = _separable_blur(grid, taps)
+    blurred = _separable_blur(grid, taps, mats=blur)
     return blurred[1:-1, 1:-1]
 
 
 @functools.partial(jax.jit, static_argnames=("M", "N", "x_start", "radius"))
 def curve_kde(y_curves, weights, M: int, N: int, x_start: int,
-              radius: int = DEFAULT_RADIUS, bw: float = 1.0):
+              radius: int = DEFAULT_RADIUS, bw: float = 1.0, blur=None):
     """KDE of the best posterior curves on the (M, N) pixel grid.
 
     Args:
@@ -125,12 +142,14 @@ def curve_kde(y_curves, weights, M: int, N: int, x_start: int,
       weights: (S,) per-curve weights (normalised inverse costs,
         gpet.py:492-493 — normalisation is irrelevant under min-max).
       M, N: image shape. x_start: first grid column.
+      blur: optional precomputed :func:`blur_matrices` (pass inside
+        loops; bitwise-identical output either way).
 
     Returns:
       (M, N) KDE, min-max normalised to [0, 1].
     """
     return _minmax(curve_kde_raw(y_curves, weights, M, N, x_start,
-                                 radius, bw))
+                                 radius, bw, blur=blur))
 
 
 def kde_normalise(raw):
