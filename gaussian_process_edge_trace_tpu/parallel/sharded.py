@@ -83,9 +83,12 @@ def _sharded_single_trace(cfg: TracerConfig, data: TracerData,
     """One full trace, optionally sample-sharded over ``sample_axis``."""
     key = jax.random.PRNGKey(cfg.seed)
     # Loop-invariant blur factors, hoisted out of the while body (see
-    # kde.blur_matrices; bitwise-identical ops).
+    # kde.blur_matrices; bitwise-identical ops). The barrier stops XLA
+    # rematerialising the build back into the loop body (run_trace A/B:
+    # without it the build re-ran every iteration, ~0.09 ms/trace).
     from gaussian_process_edge_trace_tpu.trace.kde import blur_matrices
-    blur = blur_matrices(cfg.M, cfg.N, data.grad_kde.dtype)
+    blur = jax.lax.optimization_barrier(
+        blur_matrices(cfg.M, cfg.N, data.grad_kde.dtype))
 
     def cond(s):
         return (s.n_fobs < cfg.algo_thresh) & (s.it < cfg.max_iters)
