@@ -456,11 +456,11 @@ def optimize_lml(kernel: KernelSpec, xs, ys, mask, noise_w, starts, lb, ub,
         # The batch-on-lanes kernels are a clear ~8x win while a whole
         # (n, n, 128-lane) factor fits VMEM (n <= ~160, i.e. every config
         # up to ~800-wide images). Above that the blocked panel variants
-        # still work (pallas_chol.cholesky_auto) but measured a wash vs
-        # XLA at n=208 (their solves are sequential-depth-bound), so big
-        # problems keep the XLA path.
-        use_batched = (jax.default_backend() == "tpu"
-                       and xs.shape[0] <= 160)
+        # (pallas_chol.cholesky_auto) are a 3.3x win too — 7.4 vs 24.0 ms
+        # per n=208 final fit, device-trace-profiled; an earlier
+        # wall-minus-dispatch A/B called them "a wash", but that
+        # measurement overcorrects below ~5 ms (CLAUDE.md gotcha).
+        use_batched = jax.default_backend() == "tpu"
     if use_batched:
         from gaussian_process_edge_trace_tpu.models.gpr import batched_lml
 
