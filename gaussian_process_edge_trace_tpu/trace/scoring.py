@@ -98,10 +98,5 @@ def best_curves(y_samples, costs, n_keep: int):
     MXU-friendly, unlike a column gather.
     """
     neg, idx = jax.lax.top_k(-costs, n_keep)
-    S = y_samples.shape[1]
-    onehot = (idx[None, :] == jnp.arange(S)[:, None]).astype(y_samples.dtype)
-    # HIGHEST: default MXU bf16 passes would round the curve y-values by
-    # ~1 px, visibly degrading the KDE and pixel selection downstream.
-    best = jnp.matmul(y_samples, onehot,
-                      precision=jax.lax.Precision.HIGHEST)
+    best = jnp.take(y_samples, idx, axis=1)
     return best, -neg
