@@ -234,13 +234,18 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
                                       dtype=f0.dtype))    # (n, S)
     eps = jnp.sqrt(jnp.maximum(diag_noise, 0.0))[:, None] * w
 
-    # f0 at the training points via a one-hot contraction: TPU row
-    # gathers are slow, an (n, G) @ (G, S) matmul rides the MXU.
-    sel = (x_idx[:, None] == jnp.arange(G, dtype=x_idx.dtype)[None, :]
-           ).astype(f0.dtype)
-    # HIGHEST: a one-hot contraction must reproduce f0 exactly; default
-    # MXU bf16 passes would perturb the prior draws.
-    f0_x = jnp.matmul(sel, f0, precision=jax.lax.Precision.HIGHEST)
+    # f0 at the training points. The row gather and the (n, G) @ (G, S)
+    # HIGHEST one-hot contraction are bitwise-identical; which is faster
+    # flips with S (device-profiled in a fused extract+resid+solve chain:
+    # take wins ≤16k samples — 0.18 vs 0.28 ms at S=16k — the one-hot's
+    # MXU work amortises past ~32k where the gather turns HBM-bound:
+    # 0.90 vs 1.31 ms at S=64k).
+    if f0.shape[1] <= 32768:
+        f0_x = jnp.take(f0, x_idx, axis=0)
+    else:
+        sel = (x_idx[:, None] == jnp.arange(G, dtype=x_idx.dtype)[None, :]
+               ).astype(f0.dtype)
+        f0_x = jnp.matmul(sel, f0, precision=jax.lax.Precision.HIGHEST)
 
     resid = jnp.where(mask[:, None], yc[:, None] - f0_x - eps, 0.0)
     A = cho_solve((L, True), resid)                        # (n, S)

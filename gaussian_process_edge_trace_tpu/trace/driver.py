@@ -379,14 +379,17 @@ def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState,
                                      tiled=True)          # (S,) global
         neg, idx = jax.lax.top_k(-costs_g, cfg.N_keep)
         bcosts = -neg
-        # Local slice of the global one-hot selector: column k is nonzero
-        # on exactly one shard, so the psum adds exact zeros elsewhere and
-        # bc is bitwise the single-device best_curves() output.
-        gidx = off + jnp.arange(s_local, dtype=jnp.int32)
-        onehot = (idx[None, :] == gidx[:, None]).astype(samples.dtype)
+        # Local slice of the global selection: column k lives on exactly
+        # one shard — gather it there (clamped take + in-range mask), add
+        # exact zeros elsewhere, psum. Bitwise the single-device
+        # best_curves() output, without the (E, s_local, N_keep) one-hot
+        # MXU work (plain takes beat one-hot selects at every size —
+        # trace/scoring.py::best_curves).
+        lidx = idx - off
+        in_range = (lidx >= 0) & (lidx < s_local)
+        taken = jnp.take(samples, jnp.clip(lidx, 0, s_local - 1), axis=1)
         bc = jax.lax.psum(
-            jnp.matmul(samples, onehot,
-                       precision=jax.lax.Precision.HIGHEST),
+            jnp.where(in_range[None, :], taken, 0.0),
             sample_axis)                                  # (E, N_keep)
     inv = 1.0 / bcosts
     weights = inv / jnp.sum(inv)                          # gpet.py:492-493
