@@ -350,7 +350,7 @@ def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState,
     consumes the identical random stream a single device would use — and
     scores them locally; the global top-N_keep selection runs replicated
     on an ``all_gather`` of the (tiny) cost vector, the kept curves are
-    assembled with a local one-hot extraction + ``psum`` (every column has
+    assembled with a local clamped take + in-range mask + ``psum`` (every column has
     exactly one contributing shard, the rest add exact zeros), and the
     KDE over the kept set is computed replicated. The selection pipeline
     therefore executes the identical computation on every shard:

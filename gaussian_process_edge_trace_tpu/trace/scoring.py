@@ -3,10 +3,8 @@
 Replaces the reference's serial per-sample Python loop
 (reference: gpet.py:414-451 looping gpet.py:371-410) with one batched
 computation over all N_samples curves: a Pallas per-column interpolation
-kernel for the gradient lookups (TPU row gathers are slow), closed-form
-Simpson quadratures over the whole batch, and ``lax.top_k`` with the
-selected curves extracted by an MXU one-hot contraction instead of a
-column gather.
+kernel for the gradient lookups, closed-form Simpson quadratures over
+the whole batch, and ``lax.top_k`` column extraction.
 
 Cost semantics (gpet.py:392-408), for a curve (x_grid, y) with unit x
 spacing:
@@ -94,8 +92,9 @@ def best_curves(y_samples, costs, n_keep: int):
     """Top ``n_keep`` curves by ascending cost (gpet.py:443-449).
 
     Returns ``(best (E, n_keep), best_costs (n_keep,))``; index 0 is the
-    optimum. Curve extraction is an (E, S) @ (S, n_keep) one-hot matmul —
-    MXU-friendly, unlike a column gather.
+    optimum. Extraction is a plain column ``take``: device-profiled it
+    beats the earlier (E, S) @ (S, n_keep) HIGHEST one-hot contraction at
+    every size (bitwise-identical output; 33.6 → 1.4 ms at S=10⁵).
     """
     neg, idx = jax.lax.top_k(-costs, n_keep)
     best = jnp.take(y_samples, idx, axis=1)
