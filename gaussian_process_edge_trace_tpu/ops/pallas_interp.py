@@ -79,12 +79,17 @@ def _column_interp_pallas(cols, ys):
     return out[:E, :S]
 
 
-_H = 4  # two-level inner block size (hi = i0 // _H, lo = i0 - _H*hi).
-# Swept on v5e at (E,M,S)=(500,500,1000): _H=4 → 39.3 us/call, _H=8 →
-# 39.8, _H=16 → 54.0 — at _H=4 the select's contraction dim L=M/4≈125
-# fills the MXU's 128 lanes exactly and the hat shrinks to 5 taps;
-# output values are bitwise-identical across _H (the one-hot/hat sums
-# only ever add exact zeros in a different pattern).
+def _H_for(M: int) -> int:
+    """Two-level inner block size (hi = i0 // H, lo = i0 - H*hi), per M.
+
+    L = ceil(M/H) is the block select's MXU contraction dim — pick H so
+    L lands on ~128 lanes. Swept on v5e at (E,M,S)=(500,500,1000):
+    H=4 (L=125) → 39.3 us/call, H=8 → 39.8, H=16 → 54.0. At M=1000 the
+    optimum shifts exactly one octave: H=8 (L=125) beats H=4 (L=250) by
+    6.6% of the whole S=10⁵ trace and H=16 (L=63) loses again. Output
+    values are bitwise-identical across H (the one-hot/hat sums only
+    ever add exact zeros in a different pattern; pinned by tests)."""
+    return max(4, 1 << max(0, (M - 1).bit_length() - 7))
 
 
 def _split3_bf16(c):
@@ -112,35 +117,35 @@ def _split3_bf16(c):
             r2.astype(jnp.bfloat16))
 
 
-def _interp_kernel_2l(col6_ref, y_ref, out_ref):
-    # col6_ref: (BLK, 3*(_H+1), L) bf16 — the overlapped row blocks'
+def _interp_kernel_2l(col6_ref, y_ref, out_ref, *, H):
+    # col6_ref: (BLK, 3*(H+1), L) bf16 — the overlapped row blocks'
     # three exact bf16 split components stacked along the tap axis;
     # y/out: (BLK, S). Two-level decomposition: a (L, S) one-hot selects
-    # each sample's (_H+1)-row block, then an (_H+1)-tap hat
+    # each sample's (H+1)-row block, then an (H+1)-tap hat
     # interpolates inside it — far fewer elementwise ops than the direct
     # (S, M) hat at M=500. The block select runs as ONE fused
-    # (3*(_H+1), L) @ (L, S) DEFAULT-precision bf16 MXU dot over the
+    # (3*(H+1), L) @ (L, S) DEFAULT-precision bf16 MXU dot over the
     # stacked splits, re-summed
     # to f32 taps: every product against the 0/1 one-hot is exact and
     # h1+h2+h3 == c2 bitwise, so the result is bitwise-identical to the
     # HIGHEST-precision f32 dot it replaces at half the MXU passes
-    # (device-profiled 20-call chains on v5e at _H=16: HIGHEST 0.105 →
-    # split 0.052 ms/call; the _H=4 retune brings it to 0.039; the
-    # unsplit VPU multiply+reduce was 0.222). ylo = y - _H*hi is exact
+    # (device-profiled 20-call chains on v5e at H=16: HIGHEST 0.105 →
+    # split 0.052 ms/call; the H=4 retune brings it to 0.039; the
+    # unsplit VPU multiply+reduce was 0.222). ylo = y - H*hi is exact
     # in f32 and every reduction adds exact zeros; the CPU interpreter's
     # FMA groupings can differ by 1 ulp at block boundaries (tests
     # assert ulp agreement).
     L = col6_ref.shape[2]
     S = y_ref.shape[1]
-    T = _H + 1
-    M_cap = L * _H
+    T = H + 1
+    M_cap = L * H
     hs = jax.lax.broadcasted_iota(jnp.int32, (L, S), 0)
     ts = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0).astype(
         jnp.float32)
     for j in range(_BLK):
         y = jnp.clip(y_ref[j, :], 0.0, M_cap - 1.0)
-        hi = jnp.floor(y).astype(jnp.int32) // _H
-        ylo = y - (hi * _H).astype(jnp.float32)           # exact
+        hi = jnp.floor(y).astype(jnp.int32) // H
+        ylo = y - (hi * H).astype(jnp.float32)            # exact
         onehot = (hs == hi[None, :]).astype(jnp.bfloat16)  # (L, S)
         big = jax.lax.dot_general(
             col6_ref[j], onehot, (((1,), (0,)), ((), ())),
@@ -153,20 +158,23 @@ def _interp_kernel_2l(col6_ref, y_ref, out_ref):
 
 @jax.jit
 def _column_interp_pallas_2l(cols, ys):
+    import functools
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     E, M = cols.shape
     _, S = ys.shape
-    L = (M + _H - 1) // _H
-    Mp = L * _H + 1                     # +1 row of overlap padding
+    H = _H_for(M)
+    L = (M + H - 1) // H
+    Mp = L * H + 1                      # +1 row of overlap padding
     E_pad = ((E + _BLK - 1) // _BLK) * _BLK
     colsp = jnp.pad(cols.astype(jnp.float32),
                     ((0, E_pad - E), (0, Mp - M)))
-    # col2d[e, t, h] = colsp[e, h*_H + t] (overlapped so i0+1 never
+    # col2d[e, t, h] = colsp[e, h*H + t] (overlapped so i0+1 never
     # crosses a block boundary); loop-invariant, built once per call.
-    col2d = jnp.stack([colsp[:, t:t + (L - 1) * _H + 1:_H]
-                       for t in range(_H + 1)], axis=1)   # (E_pad, T, L)
+    col2d = jnp.stack([colsp[:, t:t + (L - 1) * H + 1:H]
+                       for t in range(H + 1)], axis=1)    # (E_pad, T, L)
     # Exact bf16 splits stacked on the tap axis (kernel docstring); built
     # outside the kernel so XLA hoists them out of the trace while-loop.
     col6 = jnp.concatenate(_split3_bf16(col2d), axis=1)   # (E_pad, 3T, L)
@@ -175,18 +183,18 @@ def _column_interp_pallas_2l(cols, ys):
     # S=10⁴).
     # Floor the BUDGET to lanes, then take S whole if it fits — the demo
     # S=1000 must stay a single exact-width block.
-    budget = max(128, ((1 << 22) // (4 * (_H + 1) * L) // 128) * 128)
+    budget = max(128, ((1 << 22) // (4 * (H + 1) * L) // 128) * 128)
     s_blk = min(S, budget)
     S_pad = ((S + s_blk - 1) // s_blk) * s_blk
     ysp = jnp.pad(ys.astype(jnp.float32),
                   ((0, E_pad - E), (0, S_pad - S)))
-    # The kernel clamps to L*_H-1; clamp to the true M-1 first.
+    # The kernel clamps to L*H-1; clamp to the true M-1 first.
     ysp = jnp.clip(ysp, 0.0, M - 1.0)
     out = pl.pallas_call(
-        _interp_kernel_2l,
+        functools.partial(_interp_kernel_2l, H=H),
         grid=(E_pad // _BLK, S_pad // s_blk),
         in_specs=[
-            pl.BlockSpec((_BLK, 3 * (_H + 1), L), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((_BLK, 3 * (H + 1), L), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BLK, s_blk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -223,7 +231,7 @@ def column_interp(cols, ys, two_level=True):
       (E, S) interpolated values, float32 on TPU / input dtype elsewhere.
     """
     if jax.default_backend() == "tpu":
-        if two_level and cols.shape[1] >= 4 * _H:
+        if two_level and cols.shape[1] >= 4 * _H_for(cols.shape[1]):
             return _column_interp_pallas_2l(cols, ys).astype(ys.dtype)
         return _column_interp_pallas(cols, ys).astype(ys.dtype)
     return _column_interp_gather(cols, ys)
