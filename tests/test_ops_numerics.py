@@ -163,18 +163,20 @@ def test_blocked_cholesky_and_solves_match_jnp(monkeypatch):
         rtol=1e-6, atol=1e-9)
 
 
-def test_interp_kernels_bitwise_equivalent():
+@pytest.mark.parametrize("E,M,S", [(24, 72, 96), (16, 600, 64)])
+def test_interp_kernels_bitwise_equivalent(E, M, S):
     """The two-level interp decomposition is BITWISE identical to the
-    direct hat kernel (ylo = y - 16*hi exact in f32; reductions add exact
+    direct hat kernel (ylo = y - H*hi exact in f32; reductions add exact
     zeros) and both match the gather formulation to f32 rounding —
-    exercised in interpret mode off-TPU, compiled on TPU."""
+    exercised in interpret mode off-TPU, compiled on TPU. M=72 runs the
+    H=4 octave of pallas_interp._H_for, M=600 the H=8 one."""
     import numpy as np
     import jax.numpy as jnp
 
     from gaussian_process_edge_trace_tpu.ops import pallas_interp as pi
 
+    assert pi._H_for(M) == (4 if M <= 512 else 8)
     rng = np.random.default_rng(0)
-    E, M, S = 24, 72, 96
     cols = jnp.asarray(rng.random((E, M)), jnp.float32)
     # Mix of interior points, exact integers, and out-of-domain values.
     ys = jnp.asarray(np.concatenate([
