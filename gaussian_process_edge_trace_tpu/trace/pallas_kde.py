@@ -87,12 +87,13 @@ def column_binning(y_curves, weights, M: int, use_pallas: bool = False):
     return _binning_dense_chunked(y_curves, weights, M)
 
 
-# Target size for one hat-contraction block: (M+2)·E·chunk elements. 32M
-# f32 (~128 MB of fused traffic) matches the demo shapes where the dense
-# contraction measured fastest; larger sample counts (BASELINE config 4,
-# N_samples → 10⁵) are scanned in chunks of this size instead of
-# materialising a multi-GB tensor.
-_CHUNK_ELEMS = 32 * 1024 * 1024
+# Target size for one hat-contraction block: (M+2)·E·chunk elements.
+# Larger sample counts (BASELINE config 4, N_samples → 10⁵) are scanned
+# in chunks of this size instead of materialising a multi-GB tensor.
+# Swept on v5e at 1000×1000 S=10⁵ whole-trace: 32M → 735.6 ms,
+# 128M → 728.9, 512M → 790.0; the demo shapes (25M elements) stay a
+# single unchunked block at any of these.
+_CHUNK_ELEMS = 128 * 1024 * 1024
 
 
 def _binning_dense_chunked(y_curves, weights, M: int):
