@@ -60,6 +60,18 @@ def simpson_nonuniform(y, x=None, axis=-1, even="simpson", h=None):
     y = jnp.asarray(y)
     if (x is None) == (h is None):
         raise ValueError("pass exactly one of x / h")
+    if axis == 0 and y.ndim > 1:
+        # Native leading-axis path: slicing/reducing axis 0 keeps the
+        # batch on the minor (lane) axis with NO transpose. The generic
+        # path's moveaxis materialises a full copy of every operand —
+        # 21 ms/trace of the 1000×1000 S=10⁵ device profile was the
+        # (E, S) transpose feeding this quadrature from the curve cost
+        # (trace/scoring.py). Same contributions, reduced along axis 0.
+        if x is not None:
+            h0 = jnp.diff(jnp.asarray(x), axis=0)
+        else:
+            h0 = jnp.asarray(h)
+        return _simpson_axis0(y, h0, even)
     if x is not None:
         x = jnp.asarray(x)
         if axis != -1:
@@ -120,6 +132,41 @@ def simpson_nonuniform(y, x=None, axis=-1, even="simpson", h=None):
     eta = h1 * h1 * h1 / (6 * h0 * (h0 + h1))
     tail = alpha * y[..., -1] + beta * y[..., -2] - eta * y[..., -3]
     return main + tail
+
+
+def _simpson_axis0(y, h, even):
+    """:func:`simpson_nonuniform` body specialised to ``axis=0``
+    (transpose-free; see the dispatch comment there)."""
+    n = y.shape[0]
+    if n < 2:
+        raise ValueError("simpson needs at least 2 samples")
+    if h.shape[0] != n - 1:
+        raise ValueError(f"h must have n-1 = {n - 1} intervals, "
+                         f"got {h.shape[0]}")
+    if n == 2:
+        return 0.5 * (y[0] + y[1]) * h[0]
+
+    def _odd_block(yb, hb):
+        return jnp.sum(_pair_contributions(
+            yb[0:-2:2], yb[1:-1:2], yb[2::2], hb[0::2], hb[1::2]), axis=0)
+
+    if n % 2 == 1:
+        return _odd_block(y, h)
+
+    if even == "avg":
+        first = (_odd_block(y[: n - 1], h[: n - 2])
+                 + 0.5 * (y[-1] + y[-2]) * h[-1])
+        second = (0.5 * (y[0] + y[1]) * h[0]
+                  + _odd_block(y[1:], h[1:]))
+        return 0.5 * (first + second)
+
+    main = _odd_block(y[: n - 1], h[: n - 2])
+    h0 = h[-2]
+    h1 = h[-1]
+    alpha = (2 * h1 * h1 + 3 * h0 * h1) / (6 * (h0 + h1))
+    beta = (h1 * h1 + 3 * h0 * h1) / (6 * h0)
+    eta = h1 * h1 * h1 / (6 * h0 * (h0 + h1))
+    return main + alpha * y[-1] + beta * y[-2] - eta * y[-3]
 
 
 def simpson_weights(x, even="simpson"):

@@ -77,8 +77,8 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
     # reduce-window chain per iteration) and its re-differencing never
     # materialise. Agrees with the explicit-coordinate form to f32
     # rounding of each width (~1 ulp).
-    line_integral = simpson_nonuniform(grad_score[:-1].T, h=step.T[:, 1:],
-                                       even=even)
+    line_integral = simpson_nonuniform(grad_score[:-1], h=step[1:],
+                                       even=even, axis=0)
 
     # Arc-length Simpson weights are static in x (uniform unit spacing
     # over x_grid[:-1]) so that quadrature is one matvec for the batch.
