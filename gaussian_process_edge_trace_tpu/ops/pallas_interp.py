@@ -117,7 +117,7 @@ def _split3_bf16(c):
             r2.astype(jnp.bfloat16))
 
 
-def _interp_kernel_2l(col6_ref, y_ref, out_ref, *, H):
+def _interp_kernel_2l(col6_ref, y_ref, out_ref, *, H, M):
     # col6_ref: (BLK, 3*(H+1), L) bf16 — the overlapped row blocks'
     # three exact bf16 split components stacked along the tap axis;
     # y/out: (BLK, S). Two-level decomposition: a (L, S) one-hot selects
@@ -138,12 +138,14 @@ def _interp_kernel_2l(col6_ref, y_ref, out_ref, *, H):
     L = col6_ref.shape[2]
     S = y_ref.shape[1]
     T = H + 1
-    M_cap = L * H
     hs = jax.lax.broadcasted_iota(jnp.int32, (L, S), 0)
     ts = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0).astype(
         jnp.float32)
     for j in range(_BLK):
-        y = jnp.clip(y_ref[j, :], 0.0, M_cap - 1.0)
+        # Clamp to the TRUE domain in-kernel (M <= L*H by construction):
+        # a host-side pre-clip pass materialised a full (E, S) copy —
+        # 21 ms/trace of the 1000x1000 S=1e5 device profile.
+        y = jnp.clip(y_ref[j, :], 0.0, M - 1.0)
         hi = jnp.floor(y).astype(jnp.int32) // H
         ylo = y - (hi * H).astype(jnp.float32)            # exact
         onehot = (hs == hi[None, :]).astype(jnp.bfloat16)  # (L, S)
@@ -182,17 +184,19 @@ def _column_interp_pallas_2l(cols, ys):
     # intermediate must stay inside VMEM (unblocked it blows up at
     # S=10⁴).
     # Floor the BUDGET to lanes, then take S whole if it fits — the demo
-    # S=1000 must stay a single exact-width block.
+    # S=1000 must stay a single exact-width block. S need NOT be a
+    # multiple of s_blk: Mosaic masks the edge block's loads/stores
+    # (every lane is independent here — the dot contracts over L, not
+    # S), which avoids materialising a padded copy of ys and the unpad
+    # slice of the output (2×21 ms/trace at 1000×1000 S=10⁵).
     budget = max(128, ((1 << 22) // (4 * (H + 1) * L) // 128) * 128)
     s_blk = min(S, budget)
-    S_pad = ((S + s_blk - 1) // s_blk) * s_blk
-    ysp = jnp.pad(ys.astype(jnp.float32),
-                  ((0, E_pad - E), (0, S_pad - S)))
-    # The kernel clamps to L*H-1; clamp to the true M-1 first.
-    ysp = jnp.clip(ysp, 0.0, M - 1.0)
+    ysp = ys.astype(jnp.float32)
+    if E_pad != E:
+        ysp = jnp.pad(ysp, ((0, E_pad - E), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_interp_kernel_2l, H=H),
-        grid=(E_pad // _BLK, S_pad // s_blk),
+        functools.partial(_interp_kernel_2l, H=H, M=M),
+        grid=(E_pad // _BLK, (S + s_blk - 1) // s_blk),
         in_specs=[
             pl.BlockSpec((_BLK, 3 * (H + 1), L), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -201,10 +205,10 @@ def _column_interp_pallas_2l(cols, ys):
         ],
         out_specs=pl.BlockSpec((_BLK, s_blk), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((E_pad, S_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E_pad, S), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(col6, ysp)
-    return out[:E, :S]
+    return out[:E] if E_pad != E else out
 
 
 @jax.jit
