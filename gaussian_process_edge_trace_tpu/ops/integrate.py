@@ -143,6 +143,11 @@ def _simpson_axis0(y, h, even):
     if h.shape[0] != n - 1:
         raise ValueError(f"h must have n-1 = {n - 1} intervals, "
                          f"got {h.shape[0]}")
+    if h.ndim < y.ndim:
+        # 1-D x/h against batched y: the intervals broadcast along axis 0,
+        # so they need explicit trailing batch axes (the generic moveaxis
+        # path gets this for free from trailing-dim broadcasting).
+        h = h.reshape(h.shape + (1,) * (y.ndim - h.ndim))
     if n == 2:
         return 0.5 * (y[0] + y[1]) * h[0]
 

@@ -26,6 +26,8 @@ gathers are cheap there and Pallas interpret mode is not.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -160,8 +162,6 @@ def _interp_kernel_2l(col6_ref, y_ref, out_ref, *, H, M):
 
 @jax.jit
 def _column_interp_pallas_2l(cols, ys):
-    import functools
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -45,6 +45,40 @@ def test_simpson_batched():
 
 
 @pytest.mark.parametrize("even", ["simpson", "avg"])
+@pytest.mark.parametrize("n", [2, 3, 4, 5, 6, 499, 500])
+@pytest.mark.parametrize("width", [3, 4])
+def test_simpson_axis0_matches_generic(n, even, width):
+    """The transpose-free axis=0 fast path equals the generic moveaxis
+    path for every point-count parity, both even rules, 2-D h, and the
+    1-D-x-against-batched-y broadcast form (width == pair count k is the
+    shape where a wrong-axis broadcast once returned silently wrong
+    integrals instead of raising)."""
+    rng = np.random.RandomState(n + width)
+    x2 = np.cumsum(0.1 + rng.rand(n, width), axis=0)
+    y2 = rng.randn(n, width)
+    got = np.asarray(simpson_nonuniform(y2, x2, axis=0, even=even))
+    ref = np.asarray(simpson_nonuniform(y2.T, x2.T, even=even))
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+    # 1-D shared coordinates against batched samples.
+    x1 = np.cumsum(0.1 + rng.rand(n))
+    got1 = np.asarray(simpson_nonuniform(y2, x1, axis=0, even=even))
+    ref1 = np.asarray(simpson_nonuniform(
+        y2.T, np.broadcast_to(x1, (width, n)), even=even))
+    np.testing.assert_allclose(got1, ref1, rtol=1e-12)
+    if n > 2 and (n % 2 == 1 or even == "simpson"):
+        # scipy >= 1.11 implements only the Cartwright even rule, so the
+        # historical 'avg' rule can't be cross-checked there at even n.
+        for i in range(width):
+            np.testing.assert_allclose(
+                got1[i], scipy.integrate.simpson(y2[:, i], x=x1),
+                rtol=1e-9)
+    # h-form on axis 0.
+    goth = np.asarray(simpson_nonuniform(
+        y2, h=np.diff(x2, axis=0), axis=0, even=even))
+    np.testing.assert_allclose(goth, ref, rtol=1e-12)
+
+
+@pytest.mark.parametrize("even", ["simpson", "avg"])
 @pytest.mark.parametrize("n", [2, 3, 5, 499, 4, 6, 500])
 def test_simpson_h_form_matches_x_form(n, even):
     """Passing interval widths directly (h=) equals passing coordinates —
@@ -163,13 +197,16 @@ def test_blocked_cholesky_and_solves_match_jnp(monkeypatch):
         rtol=1e-6, atol=1e-9)
 
 
-@pytest.mark.parametrize("E,M,S", [(24, 72, 96), (16, 600, 64)])
+@pytest.mark.parametrize("E,M,S", [(24, 72, 96), (16, 600, 64),
+                                   (16, 600, 2000)])
 def test_interp_kernels_bitwise_equivalent(E, M, S):
     """The two-level interp decomposition is BITWISE identical to the
     direct hat kernel (ylo = y - H*hi exact in f32; reductions add exact
     zeros) and both match the gather formulation to f32 rounding —
     exercised in interpret mode off-TPU, compiled on TPU. M=72 runs the
-    H=4 octave of pallas_interp._H_for, M=600 the H=8 one."""
+    H=4 octave of pallas_interp._H_for, M=600 the H=8 one; S=2000 at
+    M=600 exceeds the kernel's VMEM sample budget (s_blk=1536) so the
+    grid gets a ragged masked edge block (S % s_blk = 464)."""
     import numpy as np
     import jax.numpy as jnp
 
