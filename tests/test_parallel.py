@@ -7,8 +7,9 @@ import jax.numpy as jnp
 import pytest
 
 from gaussian_process_edge_trace_tpu.parallel import (
-    make_batch_data, make_batch_state, make_mesh, sharded_trace_batch,
-    trace_batch_vmap, trace_sequence)
+    make_batch_data, make_batch_state, make_multi_edge_data, make_mesh,
+    sharded_trace_batch, trace_batch_vmap, trace_multi_edge,
+    trace_sequence)
 from gaussian_process_edge_trace_tpu.trace.driver import make_config
 from gaussian_process_edge_trace_tpu.utils.image import (
     comp_grad_img, kernel_builder)
@@ -123,6 +124,40 @@ def test_data_axis_only_mesh():
     mesh = make_mesh(8, 1)
     res = sharded_trace_batch(cfg, data, states, mesh, n_frames=8)
     assert np.all(np.asarray(res.converged))
+
+
+def test_trace_multi_edge_one_image():
+    """F edges of ONE image in a single dispatch: bitwise-identical to
+    the tiled-image batch path, and each edge of a two-boundary image
+    traces to its own truth (the reference loops __call__ per edge,
+    gpet.py:768; the paper's retinal-layer images are multi-boundary)."""
+    size = (96, 96)
+    N = size[1]
+    img, edge = construct_test_img(
+        size=size, amplitude=14, curvature=2, noise_level=0.01,
+        ltype="multi-sinusoidal", intensity=0.3, gaps=False, seed=2)
+    edges = [edge[:N], edge[N:2 * N]]   # two boundaries, one image
+    grad = np.asarray(comp_grad_img(img, kernel_builder((7, 3))),
+                      dtype=np.float32)
+    inits = np.asarray([[[0, e[0, 0]], [N - 1, e[N - 1, 0]]]
+                        for e in edges])
+    cfg = _cfg_for(inits, size, n_samples=96)
+
+    res = trace_multi_edge(cfg, jnp.asarray(grad), inits)
+    assert res.edge_trace.shape == (2, cfg.edge_length, 2)
+    for f, truth in enumerate(edges):
+        assert bool(res.converged[f]), f
+        mse = float(trace_MSE(jnp.asarray(np.asarray(res.edge_trace[f])),
+                              jnp.asarray(truth)))
+        assert mse < 60.0, (f, mse)
+
+    # Bitwise parity with the tiled-image batch path.
+    tiled = make_batch_data(cfg, np.stack([grad, grad]), inits)
+    ref = trace_batch_vmap(cfg, tiled, make_batch_state(cfg, 2))
+    for field in ("edge_trace", "n_iters", "converged", "obs_x", "obs_y",
+                  "obs_valid"):
+        assert np.array_equal(np.asarray(getattr(ref, field)),
+                              np.asarray(getattr(res, field))), field
 
 
 def test_sequence_frame_warm_compaction():
