@@ -94,6 +94,41 @@ def make_multi_edge_data(cfg: TracerConfig, grad_img, inits) -> TracerData:
                       init_x=s[..., 0], init_y=s[..., 1])
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_seeds",
+                                              "return_all"))
+def trace_ensemble(cfg: TracerConfig, data: TracerData,
+                   state0: TraceState, n_seeds: int = 5,
+                   return_all: bool = False):
+    """Best-of-``n_seeds`` trace in ONE dispatch, selected by the
+    algorithm's own final cost.
+
+    The recursive-Bayesian tracer is long-tailed across RNG seeds (demo
+    10-seed DICE spread 0.9912-0.9974), and the reference's cost
+    (gpet.py:408 — arc length over line integral of the final mean
+    curve) rank-orders that quality essentially perfectly: on the demo
+    config the measured final-cost ordering 4.42 → 5.35 tracks DICE
+    0.9972 → 0.9912 monotonically. Running K complete traces vmapped
+    over per-member keys (member k uses ``PRNGKey(cfg.seed + k)``, so
+    member 0 IS the default :func:`..trace.driver.run_trace` result) and
+    keeping the argmin-cost member clips the tail at K× device compute,
+    amortised into a single dispatch — a serving mode the reference's
+    one-trace-per-call loop (gpet.py:768) cannot express.
+
+    Returns the best member's :class:`TraceResult` (with ``return_all``,
+    a ``(best, all_results)`` pair — ``all_results`` leaves carry a
+    leading ``n_seeds`` axis).
+    """
+    from gaussian_process_edge_trace_tpu.trace.driver import run_trace
+
+    keys = jnp.stack([jax.random.PRNGKey(cfg.seed + k)
+                      for k in range(n_seeds)])
+    results = jax.vmap(
+        lambda key: run_trace(cfg, data, state0, key=key))(keys)
+    best = jnp.argmin(results.final_cost)
+    chosen = jax.tree.map(lambda a: a[best], results)
+    return (chosen, results) if return_all else chosen
+
+
 def trace_multi_edge(cfg: TracerConfig, grad_img, inits,
                      user_obs_xy=None) -> TraceResult:
     """Trace F edges of one image in a single fused dispatch.

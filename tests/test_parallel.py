@@ -160,6 +160,35 @@ def test_trace_multi_edge_one_image():
                               np.asarray(getattr(res, field))), field
 
 
+def test_trace_ensemble_best_of_k():
+    """Best-of-K seed ensembling: member 0 is bitwise the default
+    run_trace result, and the returned member is the argmin-final-cost
+    one (the cost rank-orders seed quality — measured on the demo
+    config, see trace_ensemble docstring)."""
+    from gaussian_process_edge_trace_tpu.parallel import trace_ensemble
+    from gaussian_process_edge_trace_tpu.trace.driver import (
+        init_state, make_data, run_trace)
+
+    grads, inits, edges = _frames(1)
+    cfg = _cfg_for(inits, grads.shape[1:])
+    data = make_data(cfg, jnp.asarray(grads[0]), jnp.asarray(inits[0]))
+    state0 = init_state(cfg)
+
+    best, allres = trace_ensemble(cfg, data, state0, n_seeds=3,
+                                  return_all=True)
+    costs = np.asarray(allres.final_cost)
+    assert costs.shape == (3,)
+    assert float(best.final_cost) == float(costs.min())
+    k = int(np.argmin(costs))
+    np.testing.assert_array_equal(np.asarray(best.edge_trace),
+                                  np.asarray(allres.edge_trace[k]))
+    # Member 0 == the default single trace, bitwise.
+    single = run_trace(cfg, data, state0)
+    np.testing.assert_array_equal(np.asarray(allres.edge_trace[0]),
+                                  np.asarray(single.edge_trace))
+    assert int(allres.n_iters[0]) == int(single.n_iters)
+
+
 def test_sequence_frame_warm_compaction():
     """The fused sequence frame fits the previous frame's observation
     buffer to the warm-start capacity: over-capacity buffers compact
