@@ -305,9 +305,25 @@ class GP_Edge_Tracing:
     # -- the trace ---------------------------------------------------------
 
     def __call__(self, print_final_diagnostics=False, show_init_post=False,
-                 show_post_iter=False, verbose=False, return_lines=False):
+                 show_post_iter=False, verbose=False, return_lines=False,
+                 ensemble=None):
+        """Run the trace (gpet.py:768-908 semantics and return shapes).
+
+        ``ensemble`` (additive over the reference signature): an int K
+        runs best-of-K seed ensembling in one fused dispatch — K complete
+        traces vmapped over per-member keys, returning the member with
+        the lowest final cost (see ``parallel.trace_ensemble``; member 0
+        is the default single-seed trace, so K=1 ≡ ``ensemble=None``).
+        Incompatible with the introspective paths (``show_post_iter`` /
+        ``return_lines`` / ``verbose``), which iterate one step at a
+        time."""
         cfg, data = self.cfg, self.data
         state = init_state(cfg, user_obs_xy=self.obs)
+        if ensemble is not None and (show_post_iter or return_lines
+                                     or verbose):
+            raise ValueError("ensemble= is incompatible with the "
+                             "introspective options (show_post_iter / "
+                             "return_lines / verbose)")
 
         all_samples = []
         all_obs = [self.obs]
@@ -364,7 +380,13 @@ class GP_Edge_Tracing:
             res = jax.device_get(finish_trace(cfg, data, state))
         else:
             # Single fused program; ONE bulk device->host transfer.
-            res = jax.device_get(run_trace(cfg, data, state))
+            if ensemble is not None:
+                from gaussian_process_edge_trace_tpu.parallel import (
+                    trace_ensemble)
+                res = jax.device_get(
+                    trace_ensemble(cfg, data, state, n_seeds=int(ensemble)))
+            else:
+                res = jax.device_get(run_trace(cfg, data, state))
             n = int(res.n_iters)
             iter_curves = [np.stack(
                 [self.x_grid, res.iter_curves[i]], axis=1)

@@ -59,6 +59,22 @@ def test_return_std_tuple():
     assert mse < 15.0, mse
 
 
+def test_ensemble_kwarg():
+    """ensemble=K returns the argmin-final-cost member; its cost is no
+    worse than the default single-seed trace (member 0 of the ensemble),
+    and the introspective options reject the combination."""
+    grad, edge, init = _setup()
+    t1 = GP_Edge_Tracing(init, grad, return_std=True, **_kw())
+    single = t1()
+    cost_single = float(t1.last_result.final_cost)
+    t2 = GP_Edge_Tracing(init, grad, return_std=True, **_kw())
+    edge_pred, credint = t2(ensemble=3)
+    assert edge_pred.shape == single[0].shape
+    assert float(t2.last_result.final_cost) <= cost_single + 1e-6
+    with pytest.raises(ValueError):
+        t2(verbose=True, ensemble=3)
+
+
 @pytest.mark.slow
 def test_return_lines_and_introspective_path_match_fused():
     grad, edge, init = _setup()
