@@ -159,6 +159,20 @@ def main():
              mse=float(gpt.trace_MSE(np.asarray(r4.edge_trace), big_edge)),
              iters=int(r4.n_iters), **_mfu(cfg4, r4, ms))
 
+    # ---- config 1c: best-of-5 seed ensemble (one dispatch) ----------------
+    # trace_ensemble clips the algorithm's long seed tail by running K
+    # complete traces vmapped over member keys and keeping the
+    # argmin-final-cost one (the cost rank-orders seed quality; BASELINE).
+    from gaussian_process_edge_trace_tpu.parallel import trace_ensemble
+
+    st0 = init_state(cfg)
+    ems = _device_ms(trace_ensemble, cfg, data, st0, 5)
+    ebest = trace_ensemble(cfg, data, st0, n_seeds=5)
+    emit("1c_ensemble_best_of_5", ems,
+         dice=float(gpt.trace_dicecoef(np.asarray(ebest.edge_trace),
+                                       true_edge)),
+         final_cost=float(ebest.final_cost))
+
     # ---- config 5: warm-started frame sequence ----------------------------
     rngf = np.random.RandomState(0)
     frames, inits = [], []
