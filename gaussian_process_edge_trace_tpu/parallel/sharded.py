@@ -61,37 +61,31 @@ def make_batch_data(cfg: TracerConfig, grad_imgs, inits) -> TracerData:
                       init_y=iy)
 
 
-def make_multi_edge_data(cfg: TracerConfig, grad_img, inits) -> TracerData:
-    """:class:`TracerData` for F edges of ONE image.
-
-    The reference traces one edge per ``__call__`` (gpet.py:768) — its
-    multi-boundary deployments (the paper's retinal-layer images,
-    README.md:8-16) loop over edges, re-running the per-image
-    preprocessing each time. Here the image-dependent arrays (normalised
-    gradient, gradient KDE, interp columns) are computed ONCE and
-    broadcast along the frame axis — XLA keeps the broadcast virtual, so
-    device memory holds one copy where :func:`make_batch_data` on a
-    tiled image would hold F — and all F edges trace in a single
-    dispatch via :func:`trace_multi_edge`.
-
-    Args:
-      grad_img: (M, N) gradient image, shared by every edge.
-      inits: (F, n_inits, 2) per-edge init points in xy-space.
-    """
+def _sorted_edge_inits(inits):
+    """Per-edge init sort by x (gpet.py:95), batched: (F, n, 2) ->
+    ((F, n) init_x, (F, n) init_y)."""
     inits = jnp.asarray(inits, jnp.int32)
     if inits.ndim != 3:
         raise ValueError("inits must be (F, n_inits, 2); got shape "
                          f"{inits.shape}")
-    F = inits.shape[0]
-    g, gkde, gcols, _, _ = frame_arrays(cfg, grad_img, inits[0])
-    # Per-edge init sort by x (gpet.py:95), batched.
     order = jnp.argsort(inits[:, :, 0], axis=1)
     s = jnp.take_along_axis(inits, order[:, :, None], axis=1)
-    b = lambda a: jnp.broadcast_to(a, (F,) + a.shape)
-    L_unit, x_grid = prior_factor(cfg)
-    return TracerData(grad_img=b(g), grad_kde=b(gkde), grad_cols=b(gcols),
-                      L_prior_unit=L_unit, x_grid=x_grid,
-                      init_x=s[..., 0], init_y=s[..., 1])
+    return s[..., 0], s[..., 1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _trace_multi_local(cfg, g, gkde, gcols, L_unit, x_grid, ixs, iys,
+                       states):
+    """vmap complete traces over edges of ONE image: the image-dependent
+    arrays are shared (``in_axes=None`` — one device copy, no broadcast,
+    unlike a tiled :func:`make_batch_data`); only the init points and
+    states carry the edge axis."""
+    def one(ix, iy, state):
+        d = TracerData(grad_img=g, grad_kde=gkde, grad_cols=gcols,
+                       L_prior_unit=L_unit, x_grid=x_grid,
+                       init_x=ix, init_y=iy)
+        return _sharded_single_trace(cfg, d, state, 1, None)
+    return jax.vmap(one)(ixs, iys, states)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_seeds",
@@ -131,18 +125,32 @@ def trace_ensemble(cfg: TracerConfig, data: TracerData,
 
 def trace_multi_edge(cfg: TracerConfig, grad_img, inits,
                      user_obs_xy=None) -> TraceResult:
-    """Trace F edges of one image in a single fused dispatch.
+    """Trace F edges of ONE image in a single fused dispatch.
 
-    Numerically identical to F separate :func:`..trace.driver.run_trace`
-    calls with the same config (the batch path is the single-trace
-    program under vmap); shares the preprocessing and the prior factor
-    across edges. ``user_obs_xy`` (optional, (F, U, 2)) warm-starts each
-    edge exactly like the reference's ``obs`` argument (gpet.py:57-61).
+    The reference traces one edge per ``__call__`` (gpet.py:768) — its
+    multi-boundary deployments (the paper's retinal-layer images,
+    README.md:8-16) loop over edges, re-running the per-image
+    preprocessing each time. Here the image-dependent arrays (normalised
+    gradient, gradient KDE, interp columns) are computed once and SHARED
+    across the edge vmap (``in_axes=None`` — one device copy, where
+    :func:`make_batch_data` on a tiled image holds F). Numerically
+    identical to F separate :func:`..trace.driver.run_trace` calls with
+    the same config. ``user_obs_xy`` (optional, (F, U, 2)) warm-starts
+    each edge exactly like the reference's ``obs`` argument
+    (gpet.py:57-61).
+
+    Args:
+      grad_img: (M, N) gradient image, shared by every edge.
+      inits: (F, n_inits, 2) per-edge init points in xy-space.
     """
-    data = make_multi_edge_data(cfg, grad_img, inits)
-    states = make_batch_state(cfg, int(jnp.asarray(inits).shape[0]),
+    inits = jnp.asarray(inits, jnp.int32)
+    ixs, iys = _sorted_edge_inits(inits)
+    g, gkde, gcols, _, _ = frame_arrays(cfg, grad_img, inits[0])
+    L_unit, x_grid = prior_factor(cfg)
+    states = make_batch_state(cfg, int(inits.shape[0]),
                               user_obs_xy=user_obs_xy)
-    return trace_batch_vmap(cfg, data, states)
+    return _trace_multi_local(cfg, g, gkde, gcols, L_unit, x_grid,
+                              ixs, iys, states)
 
 
 def make_batch_state(cfg: TracerConfig, n_frames: int,

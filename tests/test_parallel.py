@@ -7,9 +7,8 @@ import jax.numpy as jnp
 import pytest
 
 from gaussian_process_edge_trace_tpu.parallel import (
-    make_batch_data, make_batch_state, make_multi_edge_data, make_mesh,
-    sharded_trace_batch, trace_batch_vmap, trace_multi_edge,
-    trace_sequence)
+    make_batch_data, make_batch_state, make_mesh, sharded_trace_batch,
+    trace_batch_vmap, trace_multi_edge, trace_sequence)
 from gaussian_process_edge_trace_tpu.trace.driver import make_config
 from gaussian_process_edge_trace_tpu.utils.image import (
     comp_grad_img, kernel_builder)
