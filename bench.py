@@ -97,6 +97,14 @@ def main():
     median_dice = dices[len(dices) // 2]
     log(f"per-seed: {per_seed}  median DICE={median_dice:.4f}")
 
+    # --- best-of-5 seed ensemble (one dispatch; clips the seed tail) ------
+    from gaussian_process_edge_trace_tpu.parallel import trace_ensemble
+    eb = jax.block_until_ready(trace_ensemble(cfg, data, state0, n_seeds=5))
+    ens_dice = float(gpt.trace_dicecoef(np.asarray(eb.edge_trace),
+                                        true_edge))
+    log(f"best-of-5 ensemble: DICE={ens_dice:.4f} "
+        f"cost={float(eb.final_cost):.4f}")
+
     # --- batched serving throughput (B=16 frames in ONE dispatch) ---------
     from gaussian_process_edge_trace_tpu.parallel.sharded import (
         make_batch_data, make_batch_state, trace_batch_vmap)
@@ -157,6 +165,7 @@ def main():
         "batch16_ms_per_trace": round(batch_s * 1e3 / B, 2),
         "batch16_traces_per_s": round(B / batch_s, 1),
         "batch16_dice_median": round(batch_dice[B // 2], 4),
+        "ensemble5_dice": round(ens_dice, 4),
     }))
 
 
