@@ -179,8 +179,9 @@ def _sharded_single_trace(cfg: TracerConfig, data: TracerData,
     # rematerialising the build back into the loop body (run_trace A/B:
     # without it the build re-ran every iteration, ~0.09 ms/trace).
     from gaussian_process_edge_trace_tpu.trace.kde import blur_matrices
-    blur = jax.lax.optimization_barrier(
-        blur_matrices(cfg.M, cfg.N, data.grad_kde.dtype))
+    blur = blur_matrices(cfg.M, cfg.N, data.grad_kde.dtype)
+    if blur is not None:
+        blur = jax.lax.optimization_barrier(blur)
 
     def cond(s):
         return (s.n_fobs < cfg.algo_thresh) & (s.it < cfg.max_iters)

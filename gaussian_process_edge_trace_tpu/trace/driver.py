@@ -610,8 +610,9 @@ def run_trace(cfg: TracerConfig, data: TracerData,
     # (see kde.blur_matrices — XLA re-ran the inline build every
     # iteration). Bitwise-identical ops, hoisted placement; the barrier
     # stops XLA rematerialising the build back into the loop body.
-    blur = jax.lax.optimization_barrier(
-        blur_matrices(cfg.M, cfg.N, data.grad_kde.dtype))
+    blur = blur_matrices(cfg.M, cfg.N, data.grad_kde.dtype)
+    if blur is not None:
+        blur = jax.lax.optimization_barrier(blur)
 
     def cond(s: TraceState):
         return (s.n_fobs < cfg.algo_thresh) & (s.it < cfg.max_iters)

@@ -62,16 +62,42 @@ def _toeplitz(n, taps, dtype):
                      0.0).astype(dtype)
 
 
+# Above this edge length the dense Toeplitz blur matmuls' O(n³) loses to
+# the O(n²·taps) shifted-FMA passes (A/B'd in the full program on v5e:
+# at 502² the matmul form wins by ~0.04 ms/trace, at 2002² it costs
+# 28.7 ms/trace vs ~2 for the FMA form).
+_BLUR_MATMUL_MAX = 1100
+
+
+def _blur_axis_fma(grid, taps, axis):
+    """1-D zero-boundary convolution along ``axis`` as static-tap shifted
+    FMAs (the ``comp_grad_img`` pattern, utils/image.py): pad, take the
+    2r+1 statically-offset slices, accumulate on the VPU."""
+    r = (taps.shape[0] - 1) // 2
+    n = grid.shape[axis]
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    g = jnp.pad(grid, pad)
+    out = taps[0] * jax.lax.slice_in_dim(g, 0, n, axis=axis)
+    for k in range(1, int(taps.shape[0])):
+        out = out + taps[k] * jax.lax.slice_in_dim(g, k, k + n, axis=axis)
+    return out
+
+
 def _separable_blur(grid, taps, mats=None):
     """2-D convolution with the separable kernel ``taps ⊗ taps``.
 
     Zero ('SAME') boundary — FFTKDE's linear convolution sees zeros beyond
-    the evaluation grid too. Implemented as two banded-Toeplitz matmuls:
-    a single-channel spatial conv wastes the MXU, while (n, n) @ grid is
-    ~100 MFLOP of dense matmul it executes in microseconds. ``mats`` are
+    the evaluation grid too. Two forms, size-gated (``_BLUR_MATMUL_MAX``):
+    banded-Toeplitz matmuls ride the MXU and win at demo scale (a
+    single-channel spatial conv wastes the MXU), while at large n the
+    matmul's O(n³) loses to two shifted-FMA passes. ``mats`` are
     precomputed ``blur_matrices`` — pass them inside loops (see there).
     """
     m, n = grid.shape
+    if max(m, n) > _BLUR_MATMUL_MAX:
+        out = _blur_axis_fma(grid, taps, axis=0)
+        return _blur_axis_fma(out, taps, axis=1)
     Ty, Tx = mats if mats is not None else (
         _toeplitz(m, taps, grid.dtype), _toeplitz(n, taps, grid.dtype))
     out = jnp.matmul(Ty, grid, precision=jax.lax.Precision.HIGHEST)
@@ -89,7 +115,11 @@ def blur_matrices(M: int, N: int, dtype=jnp.float32,
     literal exceeds its folding size cap) nor hoists it out of the loop
     body (it fuses with loop-dependent consumers), so the inline form
     re-ran every iteration (~6.6 us/iter on v5e at the demo shapes).
+    Returns ``None`` above ``_BLUR_MATMUL_MAX``, where the blur runs as
+    shifted FMAs and needs no matrices.
     """
+    if max(M, N) + 2 > _BLUR_MATMUL_MAX:
+        return None
     taps = gaussian_taps(radius, bw, dtype)
     return (_toeplitz(M + 2, taps, dtype).astype(dtype),
             _toeplitz(N + 2, taps, dtype).astype(dtype))
