@@ -173,6 +173,28 @@ def main():
                                        true_edge)),
          final_cost=float(ebest.final_cost))
 
+    # ---- config 4b: 2000x2000 stretch (next size octave) ------------------
+    # Exercises _H_for=16 interp blocks, the n_train=408 coarse-to-fine
+    # fit and the shifted-FMA KDE blur end-to-end.
+    if not args.quick:
+        img2k, edge2k = gpt.construct_test_img(
+            (2000, 2000), 700, 4, 0.05, "sinusoidal", 0.3, gaps=True)
+        grad2k = gpt.comp_grad_img(jnp.asarray(img2k), kb)
+        init2k = edge2k[[0, -1]][:, [1, 0]]
+        cfg2k = make_config(
+            init2k, (2000, 2000),
+            kernel_options={"kernel": "RBF", "sigma_f": 400,
+                            "length_scale": 100},
+            noise_y=1, N_samples=1000, score_thresh=1, delta_x=5,
+            keep_ratio=0.1, pixel_thresh=5, seed=1, fix_endpoints=True)
+        data2k = make_data(cfg2k, grad2k, jnp.asarray(init2k))
+        ms = _device_ms(run_trace, cfg2k, data2k, init_state(cfg2k))
+        r2k = run_trace(cfg2k, data2k, init_state(cfg2k))
+        emit("4b_trace_2000_S1000", ms,
+             dice=float(gpt.trace_dicecoef(np.asarray(r2k.edge_trace),
+                                           edge2k)),
+             iters=int(r2k.n_iters), **_mfu(cfg2k, r2k, ms))
+
     # ---- config 5: warm-started frame sequence ----------------------------
     rngf = np.random.RandomState(0)
     frames, inits = [], []
