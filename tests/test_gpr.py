@@ -434,45 +434,31 @@ def test_optimize_lml_batched_path_large_n(n, cap, rng_seed):
     converged-scipy optimum. n=208 is the 1000-wide-image final-fit
     scale; n=408 the 2000-wide one, where polishing the top-8 directly
     at full n left a 70-LML-unit gap (the coarse stage converges every
-    candidate basin cheaply first)."""
-    from scipy.optimize import minimize
+    candidate basin cheaply first).
 
-    from gaussian_process_edge_trace_tpu.trace.driver import optimize_lml
+    The n=408 case runs in a FRESH SUBPROCESS: compiling its huge
+    interpret-mode blocked-Pallas program inside the long-lived pytest
+    process reproducibly segfaulted a later, unrelated XLA:CPU
+    compilation (tests/large_n_check.py docstring)."""
+    import os
+    import subprocess
+    import sys
 
-    lb = np.log(np.array([0.01, 0.1, 1e-18]))
-    ub = np.log(np.array([1e3, 100.0, 1.0]))
-    rng = np.random.default_rng(rng_seed)
-    spec = KernelSpec("RBF", 2.5)
-    x = np.sort(rng.uniform(-2, 2, size=n))
-    K = 5.0 * np.exp(-0.5 * ((x[:, None] - x[None, :]) / 0.7) ** 2)
-    y = np.linalg.cholesky(K + 1e-8 * np.eye(n)) @ rng.normal(size=n)
-    y = y + rng.normal(0, 0.3, size=n)
-    y = (y - y.mean()) / y.std()
-    xs = np.zeros(cap); ys_ = np.zeros(cap)
-    mask = np.zeros(cap, bool); nw = np.ones(cap)
-    xs[:n], ys_[:n], mask[:n] = x, y, True
-    starts = np.concatenate(
-        [np.clip(np.log([[5.0, 5.0, 1.0]]), lb, ub),
-         rng.uniform(lb, ub, size=(12, 3))])
-
-    def neg(theta):
-        return -gpr.log_marginal_likelihood(
-            spec, jnp.asarray(xs), jnp.asarray(ys_), jnp.asarray(mask),
-            jnp.asarray(theta), jnp.asarray(nw), jitter=1e-6)
-
-    nvg = jax.jit(jax.value_and_grad(neg))
-
-    def sobj(t):
-        f, g = nvg(t)
-        if not np.isfinite(float(f)):
-            return 1e30, np.zeros(3)
-        return float(f), np.where(np.isfinite(g), np.asarray(g), 0.0)
-
-    best = min(float(minimize(sobj, s, jac=True, method="L-BFGS-B",
-                              bounds=list(zip(lb, ub))).fun)
-               for s in starts)
-    theta, lml = optimize_lml(
-        spec, jnp.asarray(xs), jnp.asarray(ys_), jnp.asarray(mask),
-        jnp.asarray(nw), jnp.asarray(starts), jnp.asarray(lb),
-        jnp.asarray(ub), use_batched=True)
-    assert float(-lml) <= best + 1e-3, (float(-lml), best)
+    here = os.path.dirname(os.path.abspath(__file__))
+    if cap > 300:
+        env = dict(os.environ, PYTHONPATH=os.path.dirname(here),
+                   JAX_PLATFORMS="cpu")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "large_n_check.py"),
+             str(n), str(cap), str(rng_seed)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(here))
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "large-n check ok" in proc.stdout, proc.stdout
+        return
+    sys.path.insert(0, here)
+    try:
+        from large_n_check import run_check
+    finally:
+        sys.path.pop(0)
+    run_check(n, cap, rng_seed)
