@@ -35,20 +35,26 @@ def iteration_flops(cfg) -> dict:
     d = {}
     # --- Matheron sampling round (models/gpr.py::fit_and_sample) ---------
     d["gram"] = 8 * n * n                       # ~8 flops per kernel eval
-    d["cholesky_x3"] = 3 * 2 * n ** 3 // 3      # batched jitter escalation
+    d["cholesky_x2"] = 2 * 2 * n ** 3 // 3      # batched jitter escalation
     d["prior_draw_matmul"] = 2 * G * G * S      # L_prior_unit @ z
-    d["f0_at_train_onehot"] = 2 * n * G * S     # sel @ f0
+    # f0 at the train points: size-gated (models/gpr.py) — plain row
+    # gather (no FLOPs) at ≤32k samples, one-hot contraction above.
+    d["f0_at_train"] = 2 * n * G * S if S > 32768 else 0
     d["resid_cho_solve"] = 2 * n * n * S        # two triangular solves
     d["cross_gram"] = 8 * E * n                 # Kq kernel evals
     d["posterior_matmul"] = 2 * E * n * S       # Kq @ A
     # --- curve costs (trace/scoring.py) -----------------------------------
     d["interp_hat"] = 2 * E * S * M             # per-column hat contraction
-    d["simpson"] = 10 * E * S                   # diffs/cumsum/weights
-    # --- selection of best curves (one-hot MXU extract) --------------------
-    d["topk_extract"] = 2 * E * S * K
+    d["simpson"] = 10 * E * S                   # diffs/weights
+    # Top-K curve extraction is a plain take since round 3 — no FLOPs.
     # --- curve KDE over the kept set (trace/kde.py) ------------------------
     d["kde_binning_hat"] = 2 * E * K * Mp       # per-column hat contraction
-    d["kde_blur_toeplitz"] = 2 * Mp * Mp * Np + 2 * Mp * Np * Np
+    # Blur: size-gated (trace/kde.py::_BLUR_MATMUL_MAX) — Toeplitz
+    # matmuls at demo scale, 17-tap shifted FMAs above ~1100 px.
+    if max(M, N) + 2 > 1100:
+        d["kde_blur_fma"] = 2 * 34 * Mp * Np    # 2 axes × 17 taps × FMA
+    else:
+        d["kde_blur_toeplitz"] = 2 * Mp * Mp * Np + 2 * Mp * Np * Np
     # --- pixel selection (trace/select.py) ---------------------------------
     d["select_obs_onehot"] = 2 * M * (cfg.n_user_obs + B) * N
     d["select_dense_score"] = 8 * M * N
@@ -58,24 +64,45 @@ def iteration_flops(cfg) -> dict:
 
 
 def final_fit_flops(cfg) -> dict:
-    """FLOPs of `_final_fit`: batched (13 starts + 150 grid) screen +
-    8×6 damped-Newton polish + predict (trace/driver.py::optimize_lml →
-    models/newton.py)."""
+    """FLOPs of `_final_fit` as implemented (trace/driver.py::optimize_lml
+    → models/newton.py): one batched screen of the 13 starts + 96-point
+    grid, then an 8-start damped-Newton polish with FD Hessians (2
+    batched objective units per iteration: a (2d+1)·P gradient batch and
+    a P·(L+1) candidate-value batch). Above n=160 the fit is
+    coarse-to-fine: the screen+polish run on a ≤112-point stride
+    subsample, then a 2-start (polish_iters−1)-iteration re-polish at
+    full n."""
     E = cfg.edge_length
     n = cfg.n_train
-    starts = cfg.lml_restarts + 1 + 150   # + lml_screen_grid
-    n_polish, polish_iters = 8, 6
+    starts = cfg.lml_restarts + 1 + 96    # + lml_screen_grid (4×4×6)
+    n_polish, polish_iters = 8, 4
     n_candidates = 6                      # 5 dampings + gradient fallback
+    d_dim = 3
 
-    lml_fwd = 8 * n * n + 2 * n ** 3 // 3 + 2 * n * n    # gram+chol+solve
-    # reverse-mode through Cholesky ≈ 2× forward (value_and_grad ≈ 3×);
-    # the 3-dim Hessian via forward-over-reverse ≈ 3 tangents of the grad.
-    lml_grad = 3 * lml_fwd
-    lml_hess = 3 * lml_grad
+    def lml_fwd(m):
+        return 8 * m * m + 2 * m ** 3 // 3 + 2 * m * m   # gram+chol+solve
+
+    def lml_vg(m):
+        # batched_lml with_grad: value + analytic trace-formula gradient
+        # (K^{-1} via two triangular solves with an (m, m) RHS).
+        return lml_fwd(m) + 2 * m * m * m
+
+    def screen_polish(m, n_starts, P, iters):
+        grad_batch = (2 * d_dim + 1) * P * lml_vg(m)
+        cand_batch = P * n_candidates * lml_fwd(m)
+        return n_starts * lml_fwd(m) + iters * (grad_batch + cand_batch)
+
     d = {}
-    d["screen"] = starts * lml_fwd
-    d["polish"] = n_polish * polish_iters * (
-        lml_grad + lml_hess + n_candidates * lml_fwd)
+    if n <= 160:
+        d["screen_polish"] = screen_polish(n, starts, n_polish,
+                                           polish_iters)
+    else:
+        stride = -(-n // 112)
+        n_sub = (n + stride - 1) // stride
+        d["coarse_screen_polish"] = screen_polish(n_sub, starts, n_polish,
+                                                  polish_iters)
+        d["fine_polish"] = screen_polish(n, 2, 2,
+                                         max(polish_iters - 1, 2))
     d["final_gp_fit"] = 8 * n * n + 2 * n ** 3 // 3 + 2 * n * n
     d["final_predict_std"] = 2 * E * n + n * n * E       # mean + V solve
     return d

@@ -324,6 +324,8 @@ class GP_Edge_Tracing:
             raise ValueError("ensemble= is incompatible with the "
                              "introspective options (show_post_iter / "
                              "return_lines / verbose)")
+        if ensemble is not None and int(ensemble) < 1:
+            raise ValueError(f"ensemble must be >= 1, got {ensemble}")
 
         all_samples = []
         all_obs = [self.obs]

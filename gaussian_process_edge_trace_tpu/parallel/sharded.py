@@ -74,18 +74,26 @@ def _sorted_edge_inits(inits):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _trace_multi_local(cfg, g, gkde, gcols, L_unit, x_grid, ixs, iys,
-                       states):
-    """vmap complete traces over edges of ONE image: the image-dependent
-    arrays are shared (``in_axes=None`` — one device copy, no broadcast,
-    unlike a tiled :func:`make_batch_data`); only the init points and
-    states carry the edge axis."""
-    def one(ix, iy, state):
-        d = TracerData(grad_img=g, grad_kde=gkde, grad_cols=gcols,
-                       L_prior_unit=L_unit, x_grid=x_grid,
-                       init_x=ix, init_y=iy)
-        return _sharded_single_trace(cfg, d, state, 1, None)
-    return jax.vmap(one)(ixs, iys, states)
+def _multi_edge_fused(cfg, grad_img, inits, L_unit, x_grid,
+                      user_obs_xy=None):
+    """The whole multi-edge program in ONE dispatch: per-image
+    preprocessing (computed once, shared across the edge vmap via
+    ``in_axes=None`` — one device copy, no broadcast, unlike a tiled
+    :func:`make_batch_data`), per-edge init sorting, fresh states, and
+    all F traces. An eager version paid ~5 tunnel round trips per call
+    for frame_arrays / init sorting / state assembly before the jitted
+    trace — the same lesson as :func:`_sequence_frame`."""
+    g, gkde, gcols, _, _ = frame_arrays(cfg, grad_img, inits[0])
+    ixs, iys = _sorted_edge_inits(inits)
+
+    def one(ix, iy, uobs):
+        state = init_state(cfg, user_obs_xy=uobs)
+        return _one_trace(cfg, g, gkde, gcols, L_unit, x_grid, ix, iy,
+                          state)
+
+    if user_obs_xy is None:
+        return jax.vmap(lambda ix, iy: one(ix, iy, None))(ixs, iys)
+    return jax.vmap(one)(ixs, iys, user_obs_xy)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_seeds",
@@ -114,11 +122,16 @@ def trace_ensemble(cfg: TracerConfig, data: TracerData,
     """
     from gaussian_process_edge_trace_tpu.trace.driver import run_trace
 
+    if n_seeds < 1:
+        raise ValueError(f"n_seeds must be >= 1, got {n_seeds}")
     keys = jnp.stack([jax.random.PRNGKey(cfg.seed + k)
                       for k in range(n_seeds)])
     results = jax.vmap(
         lambda key: run_trace(cfg, data, state0, key=key))(keys)
-    best = jnp.argmin(results.final_cost)
+    # NaN costs (a degenerate member's final fit) must lose, not win:
+    # jnp.argmin follows numpy and returns the NaN index.
+    costs = results.final_cost
+    best = jnp.argmin(jnp.where(jnp.isnan(costs), jnp.inf, costs))
     chosen = jax.tree.map(lambda a: a[best], results)
     return (chosen, results) if return_all else chosen
 
@@ -144,13 +157,14 @@ def trace_multi_edge(cfg: TracerConfig, grad_img, inits,
       inits: (F, n_inits, 2) per-edge init points in xy-space.
     """
     inits = jnp.asarray(inits, jnp.int32)
-    ixs, iys = _sorted_edge_inits(inits)
-    g, gkde, gcols, _, _ = frame_arrays(cfg, grad_img, inits[0])
+    if inits.ndim != 3:
+        raise ValueError("inits must be (F, n_inits, 2); got shape "
+                         f"{inits.shape}")
     L_unit, x_grid = prior_factor(cfg)
-    states = make_batch_state(cfg, int(inits.shape[0]),
-                              user_obs_xy=user_obs_xy)
-    return _trace_multi_local(cfg, g, gkde, gcols, L_unit, x_grid,
-                              ixs, iys, states)
+    if user_obs_xy is not None:
+        user_obs_xy = jnp.asarray(user_obs_xy, jnp.int32)
+    return _multi_edge_fused(cfg, jnp.asarray(grad_img), inits, L_unit,
+                             x_grid, user_obs_xy)
 
 
 def make_batch_state(cfg: TracerConfig, n_frames: int,
@@ -253,15 +267,25 @@ def sharded_trace_batch(cfg: TracerConfig, data: TracerData,
         out_specs=out_specs, check_vma=True)(data, states0)
 
 
+def _one_trace(cfg, g, gkde, gcols, L_unit, x_grid, ix, iy, state,
+               n_sample_shards=1, sample_axis=None):
+    """One complete trace from explicit data leaves — the shared vmap
+    body of the batch (per-frame leaves) and multi-edge (shared-image
+    leaves) serving paths."""
+    d = TracerData(grad_img=g, grad_kde=gkde, grad_cols=gcols,
+                   L_prior_unit=L_unit, x_grid=x_grid,
+                   init_x=ix, init_y=iy)
+    return _sharded_single_trace(cfg, d, state, n_sample_shards,
+                                 sample_axis)
+
+
 def _trace_local(cfg, data_local, states_local, n_sample_shards,
                  sample_axis=None):
     """vmap complete traces over this device's local frames."""
     def one(grad, gkde, gcols, ix, iy, state):
-        d = TracerData(grad_img=grad, grad_kde=gkde, grad_cols=gcols,
-                       L_prior_unit=data_local.L_prior_unit,
-                       x_grid=data_local.x_grid, init_x=ix, init_y=iy)
-        return _sharded_single_trace(cfg, d, state, n_sample_shards,
-                                     sample_axis)
+        return _one_trace(cfg, grad, gkde, gcols, data_local.L_prior_unit,
+                          data_local.x_grid, ix, iy, state,
+                          n_sample_shards, sample_axis)
     return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))(
         data_local.grad_img, data_local.grad_kde, data_local.grad_cols,
         data_local.init_x, data_local.init_y, states_local)
