@@ -64,9 +64,10 @@ def _toeplitz(n, taps, dtype):
 
 # Above this edge length the dense Toeplitz blur matmuls' O(n³) loses to
 # the O(n²·taps) shifted-FMA passes (A/B'd in the full program on v5e:
-# at 502² the matmul form wins by ~0.04 ms/trace, at 2002² it costs
-# 28.7 ms/trace vs ~2 for the FMA form).
-_BLUR_MATMUL_MAX = 1100
+# at 502² the matmul form wins by ~0.04 ms/trace; at 1002² FMA wins the
+# whole trace 17.7 -> 16.8 ms; at 2002² the matmuls cost 28.7 ms/trace
+# vs ~2 for the FMA form).
+_BLUR_MATMUL_MAX = 600
 
 
 def _blur_axis_fma(grid, taps, axis):
