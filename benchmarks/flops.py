@@ -13,8 +13,8 @@ Elementwise work is only counted where it is O(area·S) (the interp hat and
 KDE binning hats, which are the measured hot spots — CLAUDE.md perf notes).
 
 The model intentionally prices the *implemented* algorithm (e.g. the
-banded-Toeplitz blur as the dense matmuls it actually executes, the
-3-candidate batched Cholesky of ``safe_cholesky``), not a theoretical
+size-gated blur as whichever form actually executes, the 2-candidate
+in-loop jitter ladder, takes as zero FLOPs), not a theoretical
 minimum — MFU is "how fast does the machine run the program we wrote".
 """
 
