@@ -50,8 +50,11 @@ def iteration_flops(cfg) -> dict:
     # --- curve KDE over the kept set (trace/kde.py) ------------------------
     d["kde_binning_hat"] = 2 * E * K * Mp       # per-column hat contraction
     # Blur: size-gated (trace/kde.py::_BLUR_MATMUL_MAX) — Toeplitz
-    # matmuls at demo scale, 17-tap shifted FMAs above ~600 px.
-    if max(M, N) + 2 > 600:
+    # matmuls at demo scale, 17-tap shifted FMAs above the gate. The
+    # constant is imported so a retune cannot desync this model from
+    # the implemented form (ADVICE r3).
+    from gaussian_process_edge_trace_tpu.trace.kde import _BLUR_MATMUL_MAX
+    if max(M, N) + 2 > _BLUR_MATMUL_MAX:
         d["kde_blur_fma"] = 2 * 34 * Mp * Np    # 2 axes × 17 taps × FMA
     else:
         d["kde_blur_toeplitz"] = 2 * Mp * Mp * Np + 2 * Mp * Np * Np

@@ -239,7 +239,11 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
     # flips with S (device-profiled in a fused extract+resid+solve chain:
     # take wins ≤16k samples — 0.18 vs 0.28 ms at S=16k — the one-hot's
     # MXU work amortises past ~32k where the gather turns HBM-bound:
-    # 0.90 vs 1.31 ms at S=64k).
+    # 0.90 vs 1.31 ms at S=64k). Under sample-axis sharding
+    # f0.shape[1] is the PER-SHARD S — by design: the gather/matmul
+    # runs per device on the local (G, S_local) slice, so the local
+    # width is what the 32768 crossover was profiled against (a global
+    # S=64k split 8 ways does 8k-wide gathers, the fast regime).
     if f0.shape[1] <= 32768:
         f0_x = jnp.take(f0, x_idx, axis=0)
     else:

@@ -128,9 +128,49 @@ class _CompositeKernel(NamedTuple):
     noise: WeightedWhiteKernel
 
 
+def _from_sklearn(k):
+    """Convert a stock ``sklearn.gaussian_process.kernels`` expression of
+    the shapes the reference composes — ``C * RBF|Matern`` optionally
+    ``+ WhiteKernel`` (sklearn_gpr.py:140-180, gpet.py:165-178) — into the
+    native kernel objects, by attribute introspection (no sklearn import
+    needed). Raises TypeError naming the supported set otherwise."""
+    name = type(k).__name__
+    if name == "Product":
+        return _from_sklearn(k.k1) * _from_sklearn(k.k2)
+    if name == "Sum":
+        left = _from_sklearn(k.k1)
+        if isinstance(left, (RBF, Matern)):
+            left = _ProductKernel(ConstantKernel(1.0, "fixed"), left)
+        return left + _from_sklearn(k.k2)
+    if name == "ConstantKernel":
+        return ConstantKernel(k.constant_value, k.constant_value_bounds)
+    if name in ("RBF", "Matern"):
+        ls = np.asarray(k.length_scale, dtype=np.float64).reshape(-1)
+        if ls.size != 1:
+            raise TypeError("anisotropic length_scale is not supported "
+                            "(the reference only fits 1-D inputs)")
+        if name == "RBF":
+            return RBF(float(ls[0]), k.length_scale_bounds)
+        return Matern(float(ls[0]), nu=float(k.nu),
+                      length_scale_bounds=k.length_scale_bounds)
+    if name in ("WhiteKernel", "WeightedWhiteKernel"):
+        return WeightedWhiteKernel(
+            noise_weight=getattr(k, "noise_weight", 1.0),
+            noise_level=float(k.noise_level),
+            noise_level_bounds=k.noise_level_bounds)
+    raise TypeError(
+        f"unsupported sklearn kernel component {name!r}: supported shapes "
+        "are ConstantKernel * (RBF | Matern) [+ WhiteKernel]")
+
+
 def _normalise_kernel(kernel):
     """Coerce any supported kernel expression to a _CompositeKernel with
-    zero-noise default."""
+    zero-noise default. Stock sklearn kernel objects (identified by
+    module) are converted by introspection first (sklearn_gpr.py:140-180
+    accepts arbitrary sklearn kernels; we support the composition shapes
+    the reference builds)."""
+    if type(kernel).__module__.split(".")[0] == "sklearn":
+        return _normalise_kernel(_from_sklearn(kernel))
     if isinstance(kernel, _CompositeKernel):
         return kernel
     if isinstance(kernel, _ProductKernel):
@@ -401,24 +441,29 @@ class GaussianProcessRegressor:
             yp = jnp.asarray(self._y_proc)                  # (n, m)
             m_, sd = self._y_train_mean, self._y_train_std
 
-            def draw(t, k):
+            def draw(y_col, sd_t, m_t, k):
                 kp, kn = jax.random.split(k)
                 z = jax.random.normal(kp, (nq + n, S), F.dtype)
                 f0 = sqrt_c * (F @ z)                       # (nq+n, S)
                 eps = sqrt_noise[:, None] * jax.random.normal(
                     kn, (n, S), F.dtype)
-                resid = yp[:, t][:, None] - f0[nq:] - eps
+                resid = y_col[:, None] - f0[nq:] - eps
                 A = cho_solve((st.L, True), resid)          # (n, S)
                 s_proc = f0[:nq] + Kq @ A
                 # The fork's unconditional std rescale (sklearn_gpr.py:
                 # 385,401) — same quirk path as predict().
-                return sd[t] * s_proc + m_[t]
+                return sd_t * s_proc + m_t
 
             if self._n_targets is None:
-                return draw(0, key)
-            cols = [draw(t, jax.random.fold_in(key, t))
-                    for t in range(yp.shape[1])]
-            return jnp.stack(cols, axis=1)  # (nq, n_targets, n_samples)
+                return draw(yp[:, 0], sd[0], m_[0], key)
+            # Multi-output (sklearn_gpr.py:454-473): one batched dispatch
+            # vmapped over the target axis — same per-target fold_in keys
+            # as the former host loop, so the draws are unchanged.
+            keys = jnp.stack([jax.random.fold_in(key, t)
+                              for t in range(yp.shape[1])])
+            return jax.vmap(draw, in_axes=(1, 0, 0, 0), out_axes=1)(
+                yp, jnp.asarray(sd), jnp.asarray(m_), keys
+            )  # (nq, n_targets, n_samples)
 
         # Unfitted: prior draws — eigh of the prior covariance
         # (sklearn_gpr.py:363-378 prior branch).

@@ -317,8 +317,6 @@ class GP_Edge_Tracing:
         Incompatible with the introspective paths (``show_post_iter`` /
         ``return_lines`` / ``verbose``), which iterate one step at a
         time."""
-        cfg, data = self.cfg, self.data
-        state = init_state(cfg, user_obs_xy=self.obs)
         if ensemble is not None and (show_post_iter or return_lines
                                      or verbose):
             raise ValueError("ensemble= is incompatible with the "
@@ -326,6 +324,8 @@ class GP_Edge_Tracing:
                              "return_lines / verbose)")
         if ensemble is not None and int(ensemble) < 1:
             raise ValueError(f"ensemble must be >= 1, got {ensemble}")
+        cfg, data = self.cfg, self.data
+        state = init_state(cfg, user_obs_xy=self.obs)
 
         all_samples = []
         all_obs = [self.obs]
