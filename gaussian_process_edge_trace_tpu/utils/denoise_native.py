@@ -175,14 +175,111 @@ def shannon_entropy(image, base=2):
 
 # ---------------------------------------------------------------------------
 # Wavelet denoising (the reference's 'wavelet' technique,
-# gpet_utils.py:138 -> skimage.restoration.denoise_wavelet). Native Haar
-# (db1, skimage's default wavelet) multi-level DWT with BayesShrink soft
-# thresholding and the standard MAD noise estimate — the same
-# algorithm-in-kind; bit parity with pywt is not claimed (scikit-image is
-# not installed here to compare against, PARITY.md).
+# gpet_utils.py:134-140 -> skimage.restoration.denoise_wavelet, which
+# forwards the user's ``wavelet=`` kwarg to pywt). Native multi-level
+# 2-D DWT for the Daubechies family db1..db4 with BayesShrink/VisuShrink
+# soft/hard thresholding and the standard MAD noise estimate — the same
+# algorithm-in-kind; bit parity with pywt is not claimed (pywt and
+# scikit-image are not installed here to compare against, PARITY.md).
+# Boundary handling: odd axes are edge-padded to even, filters wrap
+# periodically (orthonormal periodized DWT — exact perfect
+# reconstruction, unit-tested), vs pywt's default symmetric extension:
+# the difference touches only the L-2 pixels nearest each border per
+# level. Unsupported wavelet names raise NotImplementedError rather than
+# silently substituting (VERDICT r3 item 5).
 # ---------------------------------------------------------------------------
 
 _SQRT2 = 2.0 ** 0.5
+
+# Daubechies orthonormal scaling filters (natural order; pywt rec_lo).
+# Each satisfies sum h = sqrt(2), ||h|| = 1, and double-shift
+# orthogonality — asserted in tests/test_denoise_and_diff.py.
+_DB_FILTERS = {
+    "db1": np.array([0.7071067811865476, 0.7071067811865476]),
+    "haar": np.array([0.7071067811865476, 0.7071067811865476]),
+    "db2": np.array([0.48296291314469025, 0.8365163037378079,
+                     0.22414386804185735, -0.12940952255092145]),
+    "db3": np.array([0.3326705529509569, 0.8068915093133388,
+                     0.4598775021193313, -0.13501102001039084,
+                     -0.08544127388224149, 0.035226291882100656]),
+    "db4": np.array([0.23037781330885523, 0.7148465705525415,
+                     0.6308807679295904, -0.02798376941698385,
+                     -0.18703481171888114, 0.030841381835986965,
+                     0.032883011666982945, -0.010597401784997278]),
+}
+
+
+def _qmf(h):
+    """Quadrature-mirror highpass: g[j] = (-1)^j h[L-1-j]."""
+    sign = np.where(np.arange(h.shape[0]) % 2 == 0, 1.0, -1.0)
+    return sign * h[::-1]
+
+
+def _wave_fwd_axis(x, h, g, axis):
+    """One periodized analysis level along ``axis``:
+    ``a[k] = Σ_j h[j] x[(2k+j) mod n]`` (and d with g). Odd axes are
+    edge-padded to even first (same policy as the Haar path). Static-tap
+    rolls + stride-2 slices only — no gathers."""
+    n = x.shape[axis]
+    if n % 2 == 1:
+        edge = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+        x = jnp.concatenate([x, edge], axis=axis)
+    L = int(h.shape[0])
+    lo = hi = None
+    for j in range(L):
+        xr = jnp.roll(x, -j, axis=axis) if j else x
+        xr = jax.lax.slice_in_dim(xr, 0, None, stride=2, axis=axis)
+        lo = h[j] * xr if lo is None else lo + h[j] * xr
+        hi = g[j] * xr if hi is None else hi + g[j] * xr
+    return lo, hi
+
+
+def _wave_inv_axis(lo, hi, h, g, n, axis):
+    """Inverse of :func:`_wave_fwd_axis` (transpose of the orthonormal
+    analysis operator): upsample by 2, add h[j]·roll(up_a, j) +
+    g[j]·roll(up_d, j), crop back to ``n``."""
+    up_shape = list(lo.shape)
+    k = up_shape[axis]
+    up_shape[axis] = 2 * k
+    za = jnp.stack([lo, jnp.zeros_like(lo)], axis=axis + 1).reshape(up_shape)
+    zd = jnp.stack([hi, jnp.zeros_like(hi)], axis=axis + 1).reshape(up_shape)
+    out = None
+    for j in range(int(h.shape[0])):
+        ra = jnp.roll(za, j, axis=axis) if j else za
+        rd = jnp.roll(zd, j, axis=axis) if j else zd
+        term = h[j] * ra + g[j] * rd
+        out = term if out is None else out + term
+    return jax.lax.slice_in_dim(out, 0, n, axis=axis)
+
+
+def _filters(wavelet, dtype=jnp.float32):
+    if wavelet not in _DB_FILTERS:
+        raise NotImplementedError(
+            f"native denoise_wavelet supports {sorted(set(_DB_FILTERS))} "
+            f"only, got {wavelet!r} (the reference forwards this kwarg to "
+            "pywt, gpet_utils.py:134-140; rather than silently "
+            "substituting another wavelet we refuse)")
+    h = jnp.asarray(_DB_FILTERS[wavelet], dtype)
+    g = jnp.asarray(_qmf(_DB_FILTERS[wavelet]), dtype)
+    return h, g
+
+
+def wave_dwt2(x, wavelet="db1"):
+    """One 2-D analysis level: returns (LL, (LH, HL, HH), shape)."""
+    h, g = _filters(wavelet, jnp.asarray(x).dtype)
+    shape = x.shape
+    lo, hi = _wave_fwd_axis(x, h, g, 0)
+    ll, lh = _wave_fwd_axis(lo, h, g, 1)
+    hl, hh = _wave_fwd_axis(hi, h, g, 1)
+    return ll, (lh, hl, hh), shape
+
+
+def wave_idwt2(ll, details, shape, wavelet="db1"):
+    h, g = _filters(wavelet, jnp.asarray(ll).dtype)
+    lh, hl, hh = details
+    lo = _wave_inv_axis(ll, lh, h, g, shape[1], 1)
+    hi = _wave_inv_axis(hl, hh, h, g, shape[1], 1)
+    return _wave_inv_axis(lo, hi, h, g, shape[0], 0)
 
 
 def _haar_fwd_axis(x, axis):
@@ -244,16 +341,19 @@ def _bayes_thresh(detail, sigma2):
 
 def denoise_wavelet(image, sigma=None, wavelet="db1", mode="soft",
                     wavelet_levels=None, method="BayesShrink"):
-    """Wavelet denoising (gpet_utils.py:138). Native Haar/BayesShrink.
+    """Wavelet denoising (gpet_utils.py:134-140). Native Daubechies
+    db1..db4 multi-level DWT with BayesShrink/VisuShrink thresholding.
 
-    Supported surface: ``wavelet='db1'`` (the skimage default),
-    ``mode`` 'soft'/'hard', ``method`` 'BayesShrink' (per-subband
-    adaptive) or 'VisuShrink' (universal threshold). ``wavelet_levels``
-    defaults to skimage's ``max_level - 3`` (floor 1).
+    Supported surface: ``wavelet`` in {'db1'/'haar', 'db2', 'db3',
+    'db4'} (other pywt names raise NotImplementedError — no silent
+    substitution), ``mode`` 'soft'/'hard', ``method`` 'BayesShrink'
+    (per-subband adaptive) or 'VisuShrink' (universal threshold).
+    ``wavelet_levels`` defaults to skimage's ``max_level - 3`` (floor 1).
+    ``sigma=None`` estimates the noise from the finest diagonal detail of
+    the SAME wavelet's decomposition via MAD (skimage's
+    ``_wavelet_threshold`` behaviour).
     """
-    if wavelet not in ("db1", "haar"):
-        raise NotImplementedError(
-            "native denoise_wavelet supports wavelet='db1'/'haar' only")
+    _filters(wavelet)                       # validate the name up front
     x = jnp.asarray(image, jnp.float32)
     max_level = int(np.floor(np.log2(min(x.shape))))
     if wavelet_levels is None:
@@ -263,11 +363,15 @@ def denoise_wavelet(image, sigma=None, wavelet="db1", mode="soft",
     ll = x
     pyramid = []
     for _ in range(wavelet_levels):
-        ll, details, shape = haar_dwt2(ll)
+        ll, details, shape = wave_dwt2(ll, wavelet)
         pyramid.append((details, shape))
 
-    sigma2 = (estimate_sigma(x) if sigma is None
-              else jnp.asarray(sigma, jnp.float32)) ** 2
+    if sigma is None:
+        hh_fine = pyramid[0][0][2]
+        sig = jnp.median(jnp.abs(hh_fine)) / 0.67448975019608171
+    else:
+        sig = jnp.asarray(sigma, jnp.float32)
+    sigma2 = sig ** 2
 
     for lvl in range(wavelet_levels - 1, -1, -1):
         details, shape = pyramid[lvl]
@@ -281,7 +385,7 @@ def denoise_wavelet(image, sigma=None, wavelet="db1", mode="soft",
                 raise NotImplementedError(method)
             new.append(_soft(d, t) if mode == "soft"
                        else jnp.where(jnp.abs(d) > t, d, 0.0))
-        ll = haar_idwt2(ll, tuple(new), shape)
+        ll = wave_idwt2(ll, tuple(new), shape, wavelet)
     return ll
 
 

@@ -149,3 +149,89 @@ def test_tvb_weight_semantics():
     r_small = float(np.mean((d_small - noisy) ** 2))
     r_large = float(np.mean((d_large - noisy) ** 2))
     assert r_large < r_small
+
+
+def test_db_filters_are_orthonormal():
+    """The hardcoded Daubechies filters satisfy the defining conditions:
+    sum h = sqrt(2), ||h|| = 1, double-shift orthogonality, and the QMF
+    highpass has zero mean."""
+    from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+        _DB_FILTERS, _qmf)
+    for name, h in _DB_FILTERS.items():
+        g = _qmf(h)
+        assert abs(h.sum() - np.sqrt(2)) < 1e-10, name
+        assert abs((h * h).sum() - 1.0) < 1e-10, name
+        assert abs(g.sum()) < 1e-10, name
+        L = len(h)
+        hp = np.pad(h, (0, L))
+        for s in range(1, L // 2):
+            assert abs(np.dot(hp[:L], hp[2 * s:2 * s + L])) < 1e-10, (
+                name, s)
+
+
+@pytest.mark.parametrize("wavelet", ["db1", "db2", "db3", "db4"])
+def test_wave_dwt_perfect_reconstruction(wavelet):
+    """VERDICT r3 item 5: the db-family DWT is a true orthonormal
+    transform — analysis followed by synthesis is the identity, on even
+    AND odd axis lengths."""
+    from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+        wave_dwt2, wave_idwt2)
+    rng = np.random.default_rng(3)
+    for shape in [(32, 32), (33, 47), (64, 31)]:
+        x = rng.normal(size=shape)
+        ll, details, s = wave_dwt2(jnp.asarray(x), wavelet)
+        rec = np.asarray(wave_idwt2(ll, details, s, wavelet))
+        np.testing.assert_allclose(rec, x, atol=1e-10)
+
+
+@pytest.mark.parametrize("wavelet", ["db2", "db4"])
+def test_wave_fwd_matches_numpy_oracle(wavelet):
+    """One analysis level along one axis vs an independent direct-sum
+    NumPy oracle of the periodized convolution a[k] = sum_j h[j]
+    x[(2k+j) mod n] (and d with the QMF highpass)."""
+    from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+        _DB_FILTERS, _filters, _qmf, _wave_fwd_axis)
+    h_np = _DB_FILTERS[wavelet]
+    g_np = _qmf(h_np)
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 24))
+    n, L = 24, len(h_np)
+    a = np.zeros(n // 2)
+    d = np.zeros(n // 2)
+    for k in range(n // 2):
+        for j in range(L):
+            a[k] += h_np[j] * x[0, (2 * k + j) % n]
+            d[k] += g_np[j] * x[0, (2 * k + j) % n]
+    h, g = _filters(wavelet, jnp.float64)
+    lo, hi = _wave_fwd_axis(jnp.asarray(x), h, g, axis=1)
+    np.testing.assert_allclose(np.asarray(lo)[0], a, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(hi)[0], d, atol=1e-12)
+
+
+@pytest.mark.parametrize("wavelet", ["db2", "db4"])
+def test_db_wavelet_denoise_improves_psnr(wavelet):
+    """denoise(technique='wavelet', wavelet='db2'/'db4') runs the REAL
+    requested wavelet (no silent Haar substitution) and denoises."""
+    from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+        peak_signal_noise_ratio)
+    from gaussian_process_edge_trace_tpu.utils.image import denoise
+
+    clean, noisy = _noisy_pair()
+    out = np.asarray(denoise(noisy, "wavelet", {"wavelet": wavelet}))
+    p_noisy = float(peak_signal_noise_ratio(jnp.asarray(clean),
+                                            jnp.asarray(noisy)))
+    p_out = float(peak_signal_noise_ratio(jnp.asarray(clean),
+                                          jnp.asarray(out)))
+    assert p_out > p_noisy + 1.0, (p_noisy, p_out)
+    # db2 output differs from the Haar output: the kwarg is honoured.
+    haar = np.asarray(denoise(noisy, "wavelet", {"wavelet": "db1"}))
+    assert np.abs(out - haar).max() > 1e-4
+
+
+def test_unsupported_wavelet_refused():
+    """A pywt wavelet name outside the implemented set raises instead of
+    silently computing another wavelet (VERDICT r3 item 5)."""
+    from gaussian_process_edge_trace_tpu.utils.image import denoise
+    _, noisy = _noisy_pair()
+    with pytest.raises(NotImplementedError, match="sym4"):
+        denoise(noisy, "wavelet", {"wavelet": "sym4"})
