@@ -29,8 +29,19 @@ def main():
     import gaussian_process_edge_trace_tpu as gpt
     from gaussian_process_edge_trace_tpu.trace.driver import (
         init_state, make_config, make_data, run_trace)
+    from gaussian_process_edge_trace_tpu.utils.selftest import run_selftest
 
     log("devices:", jax.devices())
+
+    # On-device numeric smoke tier (VERDICT r3 item 4): pins the TPU-only
+    # equivalences (take==one-hot, bf16 3-split, Pallas interp/chol) on
+    # the REAL chip before any benchmark number is trusted. The CPU test
+    # suite structurally cannot see these paths.
+    run_selftest(log)
+    if "--selftest" in sys.argv:
+        print(json.dumps({"metric": "tpu_selftest", "value": 1,
+                          "unit": "ok", "vs_baseline": 1}))
+        return
 
     # README demo config (README.md:46-84).
     test_img, true_edge = gpt.construct_test_img(
@@ -72,14 +83,20 @@ def main():
         f"MSE={tpu_mse:.2f} DICE={tpu_dice:.4f}")
 
     # --- FLOP / MFU accounting --------------------------------------------
+    # Wall MFU divides by a wall clock that is ~90% tunnel RTT; the
+    # device-profiled MFU is the machine-utilisation number (VERDICT r3
+    # item 3 — the wall figure undersold the device by ~6x).
     from benchmarks.flops import device_peak_flops, trace_flops
+    from benchmarks.suite import _device_ms
     fl = trace_flops(cfg, int(res.n_iters))
     gflops = fl["total"] / 1e9
     flops_s = fl["total"] / (tpu_ms / 1e3)
     mfu_val = flops_s / device_peak_flops()
+    dev_ms = _device_ms(run_trace, cfg, data, state0)
+    dev_mfu = fl["total"] / (dev_ms / 1e3) / device_peak_flops()
     log(f"flops: {gflops:.2f} GFLOP/trace  achieved "
-        f"{flops_s / 1e12:.3f} TFLOP/s  mfu={100 * mfu_val:.3f}% of "
-        f"bf16 peak")
+        f"{flops_s / 1e12:.3f} TFLOP/s  wall mfu={100 * mfu_val:.3f}%  "
+        f"device {dev_ms:.2f} ms -> mfu={100 * dev_mfu:.3f}% of bf16 peak")
 
     # --- multi-seed accuracy (gate on the median, not one lucky seed) -----
     per_seed = [{"seed": cfg.seed, "mse": round(tpu_mse, 2),
@@ -129,9 +146,16 @@ def main():
     batch_s = float(np.median(bt))
     batch_dice = sorted(float(gpt.trace_dicecoef(
         np.asarray(rb.edge_trace)[f], eds[f])) for f in range(B))
+    # Throughput-mode MFU: per-frame FLOPs at each frame's own iteration
+    # count over the device-profiled batch time (VERDICT r3 item 3).
+    batch_dev_ms = _device_ms(trace_batch_vmap, cfg, datab, statesb)
+    batch_flops = sum(trace_flops(cfg, int(i))["total"]
+                      for i in np.asarray(rb.n_iters))
+    batch_mfu = batch_flops / (batch_dev_ms / 1e3) / device_peak_flops()
     log(f"batch B={B}: {batch_s*1e3:.1f} ms total, "
         f"{batch_s*1e3/B:.2f} ms/trace, {B/batch_s:.1f} traces/s, "
-        f"DICE median={batch_dice[B//2]:.4f}")
+        f"device {batch_dev_ms:.1f} ms ({batch_dev_ms/B:.2f} ms/trace) "
+        f"mfu={100*batch_mfu:.3f}%, DICE median={batch_dice[B//2]:.4f}")
 
     # --- CPU reference baseline ------------------------------------------
     from benchmarks.reference_cpu import ReferenceTracerCPU
@@ -160,9 +184,13 @@ def main():
         "gflops_per_trace": round(gflops, 2),
         "achieved_tflops_s": round(flops_s / 1e12, 4),
         "mfu": round(mfu_val, 5),
+        "device_ms": round(dev_ms, 2),
+        "device_mfu": round(dev_mfu, 5),
         "per_seed": per_seed,
         "median_dice": median_dice,
         "batch16_ms_per_trace": round(batch_s * 1e3 / B, 2),
+        "batch16_device_ms_per_trace": round(batch_dev_ms / B, 3),
+        "batch16_mfu": round(batch_mfu, 5),
         "batch16_traces_per_s": round(B / batch_s, 1),
         "batch16_dice_median": round(batch_dice[B // 2], 4),
         "ensemble5_dice": round(ens_dice, 4),

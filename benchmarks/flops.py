@@ -49,15 +49,15 @@ def iteration_flops(cfg) -> dict:
     # Top-K curve extraction is a plain take since round 3 — no FLOPs.
     # --- curve KDE over the kept set (trace/kde.py) ------------------------
     d["kde_binning_hat"] = 2 * E * K * Mp       # per-column hat contraction
-    # Blur: size-gated (trace/kde.py::_BLUR_MATMUL_MAX) — Toeplitz
-    # matmuls at demo scale, 17-tap shifted FMAs above the gate. The
-    # constant is imported so a retune cannot desync this model from
-    # the implemented form (ADVICE r3).
+    # Blur: size-gated PER AXIS (trace/kde.py::_BLUR_MATMUL_MAX) — a
+    # Toeplitz matmul on each axis that fits the gate, 17-tap shifted
+    # FMAs on a long axis. The constant is imported so a retune cannot
+    # desync this model from the implemented form (ADVICE r3).
     from gaussian_process_edge_trace_tpu.trace.kde import _BLUR_MATMUL_MAX
-    if max(M, N) + 2 > _BLUR_MATMUL_MAX:
-        d["kde_blur_fma"] = 2 * 34 * Mp * Np    # 2 axes × 17 taps × FMA
-    else:
-        d["kde_blur_toeplitz"] = 2 * Mp * Mp * Np + 2 * Mp * Np * Np
+    d["kde_blur_ax0"] = (2 * Mp * Mp * Np if Mp <= _BLUR_MATMUL_MAX
+                         else 2 * 17 * Mp * Np)
+    d["kde_blur_ax1"] = (2 * Mp * Np * Np if Np <= _BLUR_MATMUL_MAX
+                         else 2 * 17 * Mp * Np)
     # --- pixel selection (trace/select.py) ---------------------------------
     d["select_obs_onehot"] = 2 * M * (cfg.n_user_obs + B) * N
     d["select_dense_score"] = 8 * M * N

@@ -205,6 +205,37 @@ def main():
                                            edge2k)),
              iters=int(r2k.n_iters), **_mfu(cfg2k, r2k, ms))
 
+    # ---- config 4c: non-square orientations (per-axis blur gate) ----------
+    # The reference traces any (M, N) (gpet.py:97). 1536 crosses the
+    # _BLUR_MATMUL_MAX=600 gate so the long axis blurs as shifted FMAs
+    # while the short one stays a Toeplitz matmul — both orientations
+    # exercise the (E, M) grad-column vs (M, N) KDE axis handling.
+    if not args.quick:
+        # Config picked by a CPU sweep (r4): the tall orientation needs a
+        # gentle edge slope — amp=500 @ curvature 4 over 512 columns is a
+        # ~25 px/px near-vertical edge that NO y(x) tracer (reference
+        # included) can follow (MSE ~1e5); amp=150 traces to MSE ~1.6.
+        for (Mns, Nns, amp, sf, ls) in [(512, 1536, 150, 100, 60),
+                                        (1536, 512, 150, 100, 30)]:
+            imgns, edgens = gpt.construct_test_img(
+                (Mns, Nns), amp, 4, 0.05, "sinusoidal", 0.3, gaps=True)
+            gradns = gpt.comp_grad_img(jnp.asarray(imgns), kb)
+            initns = edgens[[0, -1]][:, [1, 0]]
+            cfgns = make_config(
+                initns, (Mns, Nns),
+                kernel_options={"kernel": "RBF", "sigma_f": sf,
+                                "length_scale": ls},
+                noise_y=1, N_samples=1000, score_thresh=1, delta_x=5,
+                keep_ratio=0.1, pixel_thresh=5, seed=1,
+                fix_endpoints=True)
+            datans = make_data(cfgns, gradns, jnp.asarray(initns))
+            ms = _device_ms(run_trace, cfgns, datans, init_state(cfgns))
+            rns = run_trace(cfgns, datans, init_state(cfgns))
+            emit(f"4c_trace_{Mns}x{Nns}_S1000", ms,
+                 mse=float(gpt.trace_MSE(np.asarray(rns.edge_trace),
+                                         edgens)),
+                 iters=int(rns.n_iters))
+
     # ---- config 5: warm-started frame sequence ----------------------------
     rngf = np.random.RandomState(0)
     frames, inits = [], []

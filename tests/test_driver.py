@@ -248,6 +248,33 @@ def test_degenerate_short_edge():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("size", [(96, 256), (256, 96),
+                                  (128, 640), (640, 128)])
+def test_non_square_trace(size):
+    """Any (M, N) image traces end-to-end (the reference accepts arbitrary
+    shapes, gpet.py:97). The 640-long shapes cross the per-axis blur gate
+    (kde._BLUR_MATMUL_MAX=600): the long axis blurs as shifted FMAs while
+    the short one stays a Toeplitz matmul — both orientations exercise the
+    (E, M) grad-column vs (M, N) KDE axis handling."""
+    grad, edge, init, delta_x = _demo_setup(size=size)
+    _, res = _run(grad, init, delta_x,
+                  length_scale=max(10, size[1] // 24))
+    pred = np.asarray(res.edge_trace)
+    true = edge[: size[1]]
+    assert bool(res.converged)
+    assert pred.shape == (size[1], 2)
+    mse = float(trace_MSE(jnp.asarray(pred), jnp.asarray(true)))
+    assert mse < 9.0, (size, mse)
+    # trace_dicecoef builds an (N, N) mask from the EDGE LENGTH, exactly
+    # like the reference (gpet_utils.py:303-307) — on a tall image whose
+    # edge rows exceed N columns both masks are empty and the metric is
+    # 0/0 = nan in BOTH implementations, so assert it only in its domain.
+    if true[:, 0].max() < size[1]:
+        dice = float(trace_dicecoef(jnp.asarray(pred), jnp.asarray(true)))
+        assert dice > 0.92, (size, dice)
+
+
+@pytest.mark.slow
 def test_unconverged_hits_max_iters():
     # A gradient image with no edge anywhere near the inits: the tracer
     # must stop at max_iters with converged=False instead of looping

@@ -61,6 +61,35 @@ def test_curve_kde_close_to_direct_gaussian_sum():
     assert corr > 0.999
 
 
+def test_separable_blur_per_axis_gate(monkeypatch):
+    """The blur size gate is per axis (gpet.py:514's FFTKDE blurs any
+    (M, N)): a grid with one long axis runs that axis as shifted FMAs and
+    the short one as a Toeplitz matmul, and every gate combination agrees
+    with the all-dense form (same separable convolution, f64 oracle)."""
+    from gaussian_process_edge_trace_tpu.trace import kde
+
+    rng = np.random.RandomState(7)
+    grid = jnp.asarray(rng.uniform(0, 1, (40, 90)))
+    taps = kde.gaussian_taps(kde.DEFAULT_RADIUS, 1.0, grid.dtype)
+    dense = np.asarray(kde._separable_blur(grid, taps))
+
+    monkeypatch.setattr(kde, "_BLUR_MATMUL_MAX", 64)  # axis0 dense, axis1 FMA
+    mixed = np.asarray(kde._separable_blur(grid, taps))
+    # blur_matrices must hand back (Ty, None) in this regime, and feeding
+    # that tuple through reproduces the self-gated result.
+    mats = kde.blur_matrices(38, 88, dtype=grid.dtype)  # +2 pad -> (40, 90)
+    assert mats[0] is not None and mats[1] is None
+    via_mats = np.asarray(kde._separable_blur(grid, taps, mats=mats))
+
+    monkeypatch.setattr(kde, "_BLUR_MATMUL_MAX", 10)   # both axes FMA
+    fma = np.asarray(kde._separable_blur(grid, taps))
+    assert kde.blur_matrices(38, 88, dtype=grid.dtype) is None
+
+    np.testing.assert_allclose(mixed, dense, rtol=0, atol=1e-14)
+    np.testing.assert_allclose(via_mats, mixed, rtol=0, atol=1e-14)
+    np.testing.assert_allclose(fma, dense, rtol=0, atol=1e-14)
+
+
 def test_gradient_kde_matches_oracle():
     rng = np.random.RandomState(2)
     M, N = 41, 33
