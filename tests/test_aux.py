@@ -72,6 +72,7 @@ def test_obs_from_result_roundtrip_warm_start():
     assert int(res2.n_iters) <= int(res.n_iters)
 
 
+@pytest.mark.slow
 def test_trace_telemetry_dict():
     cfg, data, _ = _setup()
     res = run_trace(cfg, data, init_state(cfg))

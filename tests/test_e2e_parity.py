@@ -110,6 +110,7 @@ def test_gpet_utils_alias_surface():
         assert hasattr(gpet_utils, f), f
 
 
+@pytest.mark.slow
 def test_credible_interval_coverage():
     """The corrected pixel-unit 95% credible interval actually covers the
     true edge (scientific-calibration check); the reference-quirk interval

@@ -115,6 +115,7 @@ def test_sharded_equals_vmap_exactly(mesh_shape):
                                        err_msg=field)
 
 
+@pytest.mark.slow
 def test_data_axis_only_mesh():
     grads, inits, edges = _frames(8)
     cfg = _cfg_for(inits, grads.shape[1:])
@@ -125,6 +126,7 @@ def test_data_axis_only_mesh():
     assert np.all(np.asarray(res.converged))
 
 
+@pytest.mark.slow
 def test_trace_multi_edge_one_image():
     """F edges of ONE image in a single dispatch: bitwise-identical to
     the tiled-image batch path, and each edge of a two-boundary image
@@ -159,6 +161,7 @@ def test_trace_multi_edge_one_image():
                               np.asarray(getattr(res, field))), field
 
 
+@pytest.mark.slow
 def test_trace_ensemble_best_of_k():
     """Best-of-K seed ensembling: member 0 is bitwise the default
     run_trace result, and the returned member is the argmin-final-cost

@@ -59,6 +59,7 @@ def test_return_std_tuple():
     assert mse < 15.0, mse
 
 
+@pytest.mark.slow
 def test_ensemble_kwarg():
     """ensemble=K returns the argmin-final-cost member; its cost is no
     worse than the default single-seed trace (member 0 of the ensemble),
