@@ -124,9 +124,9 @@ def main():
         rb = trace_batch_vmap(cfgb, datab, statesb)
         dice_b = [float(gpt.trace_dicecoef(
             np.asarray(rb.edge_trace)[f], eds[f])) for f in range(B)]
-        # Under vmap the while_loop runs until the SLOWEST frame
-        # converges, so per-trace cost scales with max-iters over the
-        # batch — emit the iteration spread to attribute B-dependence.
+        # Within each _BATCH_TILE-frame chunk the while_loop runs until
+        # the chunk's slowest frame converges (tiled lax.map batcher,
+        # r4) — emit the iteration spread to attribute B-dependence.
         it_b = np.asarray(rb.n_iters).astype(int)
         emit(f"1b_batch_serving_B{B}", ms / B,
              total_ms=round(ms, 1),

@@ -291,19 +291,81 @@ def _trace_local(cfg, data_local, states_local, n_sample_shards,
         data_local.init_x, data_local.init_y, states_local)
 
 
+# Maximum vmap width of one batch tile. The vmapped while-loop program
+# only stays in its best per-frame regime up to a bounded batch width:
+# device-profiled at B=64 (r4) the per-frame cost grew +34% vs B=16 —
+# NOT in the compute ops (interp, binning and the sampling matmuls scale
+# near-linearly: +7-12%/frame) but in a swarm of layout copies, pads and
+# slice fusions around the while carry (copy.*/pad.*/slice.* rows absent
+# from the B=16 top-45 totalled ~0.9 ms/frame at B=64). Tiling the batch
+# into lax.map chunks keeps every chunk in the measured sweet spot AND
+# cuts the lockstep-straggler cost: each chunk's while_loop stops at the
+# chunk's own max iteration count instead of the global batch maximum.
+# Width A/B at the demo config (device-profiled, r4): B=64 full vmap
+# 6077 us/frame; 4x16 tiles 4605; 8x8 tiles 4109. B=16: full vmap 4547,
+# 2x8 tiles 4058 (also beats a plain B=8 vmap's 4156 — the map loop
+# re-uses the chunk program's buffers where independent dispatches
+# cannot). 8 wide fills the VPU sublanes exactly.
+_BATCH_TILE = 8
+
+
+def _batch_tile(B: int) -> int:
+    """Largest divisor of ``B`` that is <= ``_BATCH_TILE`` (the lax.map
+    tile width). Returns ``B`` itself when it already fits."""
+    if B <= _BATCH_TILE:
+        return B
+    for t in range(_BATCH_TILE, 0, -1):
+        if B % t == 0:
+            return t
+    return B
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def trace_batch_vmap(cfg: TracerConfig, data: TracerData,
                      states0: TraceState) -> TraceResult:
-    """Single-device batched tracing (plain vmap) — the dp-only fallback,
-    the numerical oracle for the sharded path, and the single-chip serving
-    workhorse (B complete traces amortise one dispatch round trip).
+    """Single-device batched tracing — the dp-only fallback, the numerical
+    oracle for the sharded path, and the single-chip serving workhorse
+    (B complete traces amortise one dispatch round trip).
+
+    Batches wider than ``_BATCH_TILE`` are tiled: ONE dispatch whose body
+    is a ``lax.map`` over chunks of at most ``_BATCH_TILE`` vmapped frames
+    (see ``_BATCH_TILE`` for the device-profiled rationale). Per-frame
+    results are bitwise those of the corresponding narrow vmap; a
+    different tile width can move f32 contractions by ulps exactly as any
+    vmap-width change can (BASELINE.md batch row). Batches whose largest
+    ``<= _BATCH_TILE`` divisor is degenerate (below the tile width, e.g.
+    prime B) run as one full-width vmap — the layout overhead beats
+    serialising narrow remnants.
 
     Module-level jit with a static ``cfg``: an earlier version built the
     jit wrapper inside the function body, which made EVERY call retrace
     and recompile (~23 s per call through the remote-compile tunnel) —
     the steady-state B=4 batch ran 23.4 s instead of ~60 ms.
     """
-    return _trace_local(cfg, data, states0, 1, None)
+    B = states0.it.shape[0]
+    tile = _batch_tile(B)
+    # The floor is expressed through _BATCH_TILE (not a literal) so tests
+    # can force chunking at tiny widths by patching the module constant.
+    if tile == B or tile < min(8, _BATCH_TILE):
+        return _trace_local(cfg, data, states0, 1, None)
+
+    def chunked(a):
+        return a.reshape((B // tile, tile) + a.shape[1:])
+
+    frames = ((chunked(data.grad_img), chunked(data.grad_kde),
+               chunked(data.grad_cols), chunked(data.init_x),
+               chunked(data.init_y)),
+              jax.tree.map(chunked, states0))
+
+    def one_chunk(args):
+        (g, gkde, gcols, ix, iy), st = args
+        d = TracerData(grad_img=g, grad_kde=gkde, grad_cols=gcols,
+                       L_prior_unit=data.L_prior_unit,
+                       x_grid=data.x_grid, init_x=ix, init_y=iy)
+        return _trace_local(cfg, d, st, 1, None)
+
+    res = jax.lax.map(one_chunk, frames)
+    return jax.tree.map(lambda a: a.reshape((B,) + a.shape[2:]), res)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -115,6 +115,46 @@ def test_sharded_equals_vmap_exactly(mesh_shape):
                                        err_msg=field)
 
 
+def test_batch_tile_divisor():
+    from gaussian_process_edge_trace_tpu.parallel.sharded import (
+        _BATCH_TILE, _batch_tile)
+    assert _BATCH_TILE == 8              # device-profiled sweet spot (r4)
+    assert _batch_tile(4) == 4           # fits: no chunking
+    assert _batch_tile(8) == 8
+    assert _batch_tile(64) == 8          # 8 x 8 tiles
+    assert _batch_tile(24) == 8
+    assert _batch_tile(20) == 5          # < floor: caller falls back
+    assert _batch_tile(17) == 1          # prime: caller falls back to vmap
+
+
+@pytest.mark.slow
+def test_batch_tiling_matches_full_vmap(monkeypatch):
+    """Wide batches run as a lax.map over _BATCH_TILE-frame vmap chunks
+    (the B=64 serving fix, VERDICT r3 item 2). Forcing a tile of 2 on a
+    4-frame batch must reproduce the full-width vmap: the algorithmic
+    trajectory exactly, float telemetry to reassociation ulps."""
+    from gaussian_process_edge_trace_tpu.parallel import sharded as sh
+
+    grads, inits, edges = _frames(4)
+    cfg = _cfg_for(inits, grads.shape[1:])
+    data = make_batch_data(cfg, grads, inits)
+    states = make_batch_state(cfg, 4)
+    ref = jax.device_get(trace_batch_vmap(cfg, data, states))
+
+    monkeypatch.setattr(sh, "_BATCH_TILE", 2)
+    chunked = jax.jit(trace_batch_vmap.__wrapped__,
+                      static_argnames=("cfg",))
+    got = jax.device_get(chunked(cfg, data, states))
+    for field in ref._fields:
+        r = np.asarray(getattr(ref, field))
+        g = np.asarray(getattr(got, field))
+        if field in _EXACT_FIELDS:
+            np.testing.assert_array_equal(r, g, err_msg=field)
+        else:
+            np.testing.assert_allclose(r, g, rtol=1e-4, atol=2e-3,
+                                       err_msg=field)
+
+
 @pytest.mark.slow
 def test_data_axis_only_mesh():
     grads, inits, edges = _frames(8)
