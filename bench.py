@@ -181,6 +181,7 @@ def main():
         "value": round(tpu_ms, 2),
         "unit": "ms",
         "vs_baseline": round(ref_ms / tpu_ms, 3),
+        "vs_baseline_device": round(ref_ms / dev_ms, 1),
         "gflops_per_trace": round(gflops, 2),
         "achieved_tflops_s": round(flops_s / 1e12, 4),
         "mfu": round(mfu_val, 5),
