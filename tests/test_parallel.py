@@ -1,10 +1,30 @@
 """Multi-device sharding tests on the 8-device virtual CPU mesh
 (SURVEY.md §4: the TPU analogue of a fake backend)."""
 
+import gc
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Reset JAX's in-process compile state before this module.
+
+    After the full ~160-test prefix of the suite, the XLA:CPU backend
+    segfaulted inside ``backend_compile_and_load`` while compiling this
+    module's largest multi-device program (2/2 full-suite runs crashed
+    at the same test; every shorter-prefix probe — including the first
+    99 tests plus the crashing test — passed, so the trigger is
+    accumulated in-process compile state, not any specific pairing).
+    Dropping the cached executables before the heavy parallel programs
+    compile bounds that state at negligible cost: this module's
+    programs are new traces that would compile from scratch anyway.
+    """
+    jax.clear_caches()
+    gc.collect()
 
 from gaussian_process_edge_trace_tpu.parallel import (
     make_batch_data, make_batch_state, make_mesh, sharded_trace_batch,
