@@ -152,8 +152,22 @@ def _simpson_axis0(y, h, even):
         return 0.5 * (y[0] + y[1]) * h[0]
 
     def _odd_block(yb, hb):
-        return jnp.sum(_pair_contributions(
-            yb[0:-2:2], yb[1:-1:2], yb[2::2], hb[0::2], hb[1::2]), axis=0)
+        # Masked shifted windows instead of stride-2 slices: XLA lowers a
+        # stride-2 slice of a sublane-major (E, S) array as a gather,
+        # which is HBM-bound at scale — 99 ms of the 1000², S=10⁵ trace
+        # (5.2 ms/iteration, device-profiled r4) was four such gathers.
+        # Evaluating the pair formula at EVERY window from contiguous
+        # unit-stride slices and zeroing the odd starts costs 2× the VPU
+        # flops but no gather; each kept term's arithmetic is unchanged.
+        # ``where`` (not multiply) so division hazards at never-selected
+        # windows (e.g. h=0 from a repeated x) cannot leak NaNs.
+        m = yb.shape[0]                          # odd, >= 3
+        contrib = _pair_contributions(
+            yb[:-2], yb[1:-1], yb[2:], hb[:-1], hb[1:])
+        mask = (jnp.arange(m - 2) % 2 == 0).reshape(
+            (m - 2,) + (1,) * (contrib.ndim - 1))
+        return jnp.sum(jnp.where(mask, contrib, jnp.zeros((), yb.dtype)),
+                       axis=0)
 
     if n % 2 == 1:
         return _odd_block(y, h)
