@@ -36,7 +36,7 @@ _BLK = 8        # columns per grid program (min sublane tile for f32)
 _S_BLK = 2048   # samples per grid program (bounds the VMEM hat matrix)
 
 
-def _interp_kernel(col_ref, y_ref, out_ref):
+def _interp_kernel(col_ref, y_ref, out_ref, *, add_const=0.0):
     # col_ref: (BLK, M) pixel columns; y_ref/out_ref: (BLK, S_blk).
     M = col_ref.shape[1]
     S = y_ref.shape[1]
@@ -48,11 +48,12 @@ def _interp_kernel(col_ref, y_ref, out_ref):
         # f32 lane reduction adds exact zeros and equals the bilinear
         # formula exactly. A (S, M) @ (M, 1) HIGHEST matvec here wasted
         # the MXU (N=1) and measured ~7x slower in-program.
-        out_ref[j, :] = jnp.sum(hat * col_ref[j, :][None, :], axis=1)
+        res = jnp.sum(hat * col_ref[j, :][None, :], axis=1)
+        out_ref[j, :] = res + add_const if add_const else res
 
 
-@jax.jit
-def _column_interp_pallas(cols, ys):
+@functools.partial(jax.jit, static_argnames=("add_const",))
+def _column_interp_pallas(cols, ys, add_const=0.0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -65,7 +66,7 @@ def _column_interp_pallas(cols, ys):
     ys = jnp.pad(ys.astype(jnp.float32),
                  ((0, E_pad - E), (0, S_pad - S)))
     out = pl.pallas_call(
-        _interp_kernel,
+        functools.partial(_interp_kernel, add_const=add_const),
         grid=(E_pad // _BLK, S_pad // s_blk),
         in_specs=[
             pl.BlockSpec((_BLK, M), lambda i, j: (i, 0),
@@ -119,7 +120,7 @@ def _split3_bf16(c):
             r2.astype(jnp.bfloat16))
 
 
-def _interp_kernel_2l(col6_ref, y_ref, out_ref, *, H, M):
+def _interp_kernel_2l(col6_ref, y_ref, out_ref, *, H, M, add_const=0.0):
     # col6_ref: (BLK, 3*(H+1), L) bf16 — the overlapped row blocks'
     # three exact bf16 split components stacked along the tap axis;
     # y/out: (BLK, S). Two-level decomposition: a (L, S) one-hot selects
@@ -157,11 +158,12 @@ def _interp_kernel_2l(col6_ref, y_ref, out_ref, *, H, M):
             precision=jax.lax.Precision.DEFAULT)          # (3T, S)
         tmp = (big[:T] + big[T:2 * T]) + big[2 * T:]      # == c2 select
         hat = jnp.maximum(0.0, 1.0 - jnp.abs(ylo[None, :] - ts))
-        out_ref[j, :] = jnp.sum(hat * tmp, axis=0)
+        res = jnp.sum(hat * tmp, axis=0)
+        out_ref[j, :] = res + add_const if add_const else res
 
 
-@jax.jit
-def _column_interp_pallas_2l(cols, ys):
+@functools.partial(jax.jit, static_argnames=("add_const",))
+def _column_interp_pallas_2l(cols, ys, add_const=0.0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -195,7 +197,8 @@ def _column_interp_pallas_2l(cols, ys):
     if E_pad != E:
         ysp = jnp.pad(ysp, ((0, E_pad - E), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_interp_kernel_2l, H=H, M=M),
+        functools.partial(_interp_kernel_2l, H=H, M=M,
+                          add_const=add_const),
         grid=(E_pad // _BLK, (S + s_blk - 1) // s_blk),
         in_specs=[
             pl.BlockSpec((_BLK, 3 * (H + 1), L), lambda i, j: (i, 0, 0),
@@ -211,18 +214,19 @@ def _column_interp_pallas_2l(cols, ys):
     return out[:E] if E_pad != E else out
 
 
-@jax.jit
-def _column_interp_gather(cols, ys):
+@functools.partial(jax.jit, static_argnames=("add_const",))
+def _column_interp_gather(cols, ys, add_const=0.0):
     E, M = cols.shape
     y = jnp.clip(ys, 0, M - 1)
     r0 = jnp.clip(jnp.floor(y), 0, M - 2).astype(jnp.int32)
     fr = (y - r0).astype(cols.dtype)
     v0 = jnp.take_along_axis(cols, r0, axis=1)
     v1 = jnp.take_along_axis(cols, r0 + 1, axis=1)
-    return v0 + fr * (v1 - v0)
+    res = v0 + fr * (v1 - v0)
+    return res + add_const if add_const else res
 
 
-def column_interp(cols, ys, two_level=True):
+def column_interp(cols, ys, two_level=True, add_const=0.0):
     """Linear interpolation of ``cols[e, :]`` at rows ``ys[e, :]``.
 
     Args:
@@ -230,12 +234,21 @@ def column_interp(cols, ys, two_level=True):
       ys: (E, S) real-valued row coordinates (clamped to [0, M-1]).
       two_level: on TPU, use the two-level VPU kernel (bitwise-identical
         to the direct hat kernel; fewer elementwise ops at M >= ~64).
+      add_const: static scalar added to every output in the kernel
+        epilogue — the same f32 add the caller would issue, but fused:
+        a separate ``+ c`` over the (E, S) result is a full extra
+        read+write pass of the largest array in the trace loop
+        (23 ms of the 1000², S=10⁵ device profile for the curve cost's
+        ``+ kde_thresh`` floor, gpet.py:392).
 
     Returns:
       (E, S) interpolated values, float32 on TPU / input dtype elsewhere.
     """
+    add_const = float(add_const)
     if jax.default_backend() == "tpu":
         if two_level and cols.shape[1] >= 4 * _H_for(cols.shape[1]):
-            return _column_interp_pallas_2l(cols, ys).astype(ys.dtype)
-        return _column_interp_pallas(cols, ys).astype(ys.dtype)
-    return _column_interp_gather(cols, ys)
+            return _column_interp_pallas_2l(
+                cols, ys, add_const=add_const).astype(ys.dtype)
+        return _column_interp_pallas(
+            cols, ys, add_const=add_const).astype(ys.dtype)
+    return _column_interp_gather(cols, ys, add_const)

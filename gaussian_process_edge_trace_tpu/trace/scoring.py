@@ -67,7 +67,11 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
         # columns (no gather).
         cols = jax.lax.dynamic_slice(
             grad_img.T, (x_grid[0], jnp.zeros((), x_grid.dtype)), (E, M))
-    grad_score = column_interp(cols, y_samples).astype(dtype) + kde_thresh
+    # The +kde_thresh floor (gpet.py:392) rides the interp kernel's
+    # epilogue: issued separately it is a full read+write pass over the
+    # (E, S) result — 23 ms of the 1000², S=10⁵ device profile.
+    grad_score = column_interp(
+        cols, y_samples, add_const=kde_thresh).astype(dtype)
 
     dy = jnp.diff(y_samples, axis=0)                  # (E-1, S)
     step = jnp.sqrt(1.0 + dy * dy)                    # Euclid = integrand
@@ -81,9 +85,13 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
                                        even=even, axis=0)
 
     # Arc-length Simpson weights are static in x (uniform unit spacing
-    # over x_grid[:-1]) so that quadrature is one matvec for the batch.
+    # over x_grid[:-1]) so that quadrature is one weighted reduce for the
+    # batch. As a (1, E) @ (E, S) matvec it wasted the MXU (M=1 sublane
+    # utilisation — 33 ms at 1000², S=10⁵); the VPU multiply+reduce also
+    # lets XLA fuse it into the Simpson window pass, which reads the same
+    # ``step`` array.
     arc_w = simpson_weights(x_grid[:-1].astype(dtype), even=even)
-    arc_length = arc_w @ step                         # (S,)
+    arc_length = jnp.sum(arc_w[:, None] * step, axis=0)   # (S,)
     return arc_length / line_integral
 
 
