@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 _BLK = 8        # columns per grid program (min sublane tile for f32)
@@ -212,6 +213,198 @@ def _column_interp_pallas_2l(cols, ys, add_const=0.0):
         interpret=jax.default_backend() != "tpu",
     )(col6, ysp)
     return out[:E] if E_pad != E else out
+
+
+# ---------------------------------------------------------------------------
+# Fused interp + Simpson quadratures (the whole curve-cost reduction)
+# ---------------------------------------------------------------------------
+
+# VMEM budget for the fully-resident col6 operand of the fused cost kernel
+# (E·3(H+1)·L bf16 bytes). 8 MB covers every M ≤ ~1200 config; above it the
+# unfused path is used (where the quadrature passes are a tiny fraction of
+# the trace anyway — they scale with S, not M).
+_FUSED_COL6_BYTES = 8 * 1024 * 1024
+
+
+def _fused_cost_call(cols, ys, kde_thresh: float):
+    """Curve-cost quadratures in ONE Pallas pass: per-column interpolation
+    (identical arithmetic to :func:`_column_interp_pallas_2l`, including the
+    ``+kde_thresh`` epilogue) PLUS both Simpson reductions of
+    ``trace/scoring.py::curve_costs`` — the non-uniform line integral over
+    the interpolated gradient values and the static-weight arc length —
+    accumulated across column blocks in VMEM.
+
+    The unfused pipeline materialises grad_score (E, S), the step array
+    (E-1, S) and re-reads both in two reduce fusions: 45.6 + 29.6 ms of the
+    1000², S=10⁵ device profile (plus the kernel's own (E, S) output write).
+    Here nothing (E, S)-shaped ever reaches HBM: the kernel emits per-block
+    partial sums into an (8, S) accumulator (row 0 = line integral, row 1 =
+    arc length).
+
+    Requires E even (⇒ both quadratures have an odd point count, so the
+    composite pair rule applies with no even-count tail and the historical
+    ``even='avg'`` rule coincides with the modern one — gpet.py:404-405
+    semantics either way).
+
+    Returns ``(line_integral (S,), arc_length (S,))``, float32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, M = cols.shape
+    _, S = ys.shape
+    assert E % 2 == 0, "fused cost kernel requires even E"
+    H = _H_for(M)
+    L = (M + H - 1) // H
+    T = H + 1
+    Mp = L * H + 1
+    E_pad = ((E + _BLK - 1) // _BLK) * _BLK
+    n_eblk = E_pad // _BLK
+
+    colsp = jnp.pad(cols.astype(jnp.float32),
+                    ((0, E_pad - E), (0, Mp - M)))
+    col2d = jnp.stack([colsp[:, t:t + (L - 1) * H + 1:H]
+                       for t in range(H + 1)], axis=1)     # (E_pad, T, L)
+    col6 = jnp.concatenate(_split3_bf16(col2d), axis=1)    # (E_pad, 3T, L)
+
+    budget = max(128, ((1 << 22) // (4 * T * L) // 128) * 128)
+    s_blk = min(S, budget)
+    n_sblk = (S + s_blk - 1) // s_blk
+
+    # The three ys views below (previous / own / next block) use CLAMPED
+    # index maps instead of a padded copy: padding would materialise a
+    # full (E, S) pass in HBM — the very traffic this kernel deletes.
+    # Clamp-read garbage rows only ever feed terms whose global-row masks
+    # exclude them (r < 2 at the first block; r > E−4/E−3/E−2 at the
+    # last — E ≤ E_pad and the pair rule never reaches past E−2).
+    ysp = ys.astype(jnp.float32)
+    if E_pad != E:
+        ysp = jnp.pad(ysp, ((0, E_pad - E), (0, 0)))
+
+    third = np.float32(2.0) / np.float32(6.0)   # == simpson_weights' hsum/6
+
+    def kernel(col6_ref, yprev_ref, y_ref, ynext_ref, out_ref):
+        i = pl.program_id(1)
+        hs = jax.lax.broadcasted_iota(jnp.int32, (L, s_blk), 0)
+        ts = jax.lax.broadcasted_iota(
+            jnp.int32, (T, s_blk), 0).astype(jnp.float32)
+
+        # steps st[k] = step[BLK·i − 1 + k] for k = 0..BLK+2, where
+        # step[r] = sqrt(1 + (y[r+1] − y[r])²)  (gpet.py:397,400 on the
+        # unit x grid; computed from the RAW samples like the unfused
+        # path's jnp.diff).
+        yext = jnp.concatenate(
+            [yprev_ref[_BLK - 1:_BLK, :], y_ref[...], ynext_ref[0:3, :]],
+            axis=0)
+        dy = yext[1:, :] - yext[:-1, :]
+        st = jnp.sqrt(1.0 + dy * dy)                       # (BLK+3, s_blk)
+        s_m1 = st[0:_BLK, :]
+        s_0 = st[1:_BLK + 1, :]
+        s_p1 = st[2:_BLK + 2, :]
+        s_p2 = st[3:_BLK + 3, :]
+
+        # Per-row line-integral weights: scatter the 3 coefficients of the
+        # non-uniform pair rule (ops/integrate.py::_pair_contributions,
+        # h[p] = step[p+1]) onto the row that owns each g term. Exactly
+        # the same coefficient arithmetic; only the summation grouping
+        # differs (per-row instead of per-window, then sequential over
+        # blocks), which moves the result by f32 rounding only.
+        r = (i * _BLK + jax.lax.broadcasted_iota(
+            jnp.int32, (_BLK, s_blk), 0))
+        even = (r % 2) == 0
+        hsum0 = s_p1 + s_p2
+        c0 = (hsum0 / 6.0) * (2.0 - s_p2 / s_p1)
+        hsum1 = s_0 + s_p1
+        c1 = (hsum1 / 6.0) * (hsum1 * hsum1 / (s_0 * s_p1))
+        hsum2 = s_m1 + s_0
+        c2 = (hsum2 / 6.0) * (2.0 - s_m1 / s_0)
+        zero = jnp.zeros((), jnp.float32)
+        w_line = (jnp.where(even & (r <= E - 4), c0, zero)
+                  + jnp.where(~even & (r <= E - 3), c1, zero)
+                  + jnp.where(even & (r >= 2) & (r <= E - 2), c2, zero))
+
+        # Arc-length weights: Simpson over the uniform unit x grid's E−1
+        # leading points — bitwise the ``simpson_weights(x_grid[:-1])``
+        # vector (1/3, 4/3, 2/3, ..., 4/3, 1/3 in exact f32 arithmetic).
+        w_arc = jnp.where(
+            (r == 0) | (r == E - 2), third,
+            jnp.where(even, third + third, third * 4.0))
+        w_arc = jnp.where(r <= E - 2, w_arc, zero)
+        arc = jnp.sum(w_arc * s_0, axis=0)                 # (s_blk,)
+
+        # Interpolate the block's own rows (two-level kernel arithmetic)
+        # and fold each row straight into the line-integral partial.
+        line = jnp.zeros((s_blk,), jnp.float32)
+        for jj in range(_BLK):
+            row = i * _BLK + jj
+            c6 = col6_ref[row]                             # (3T, L)
+            y = jnp.clip(y_ref[jj, :], 0.0, M - 1.0)
+            hi = jnp.floor(y).astype(jnp.int32) // H
+            ylo = y - (hi * H).astype(jnp.float32)
+            onehot = (hs == hi[None, :]).astype(jnp.bfloat16)
+            big = jax.lax.dot_general(
+                c6, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)       # (3T, s_blk)
+            tmp = (big[:T] + big[T:2 * T]) + big[2 * T:]
+            hat = jnp.maximum(0.0, 1.0 - jnp.abs(ylo[None, :] - ts))
+            g = jnp.sum(hat * tmp, axis=0) + kde_thresh
+            line = line + g * w_line[jj, :]
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        out_ref[0, :] += line
+        out_ref[1, :] += arc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_sblk, n_eblk),
+        in_specs=[
+            pl.BlockSpec((E_pad, 3 * T, L), lambda j, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK, s_blk),
+                         lambda j, i: (jnp.maximum(i - 1, 0), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK, s_blk), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK, s_blk),
+                         lambda j, i: (jnp.minimum(i + 1, n_eblk - 1), j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, s_blk), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, S), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(col6, ysp, ysp, ysp)
+    return out[0], out[1]
+
+
+@functools.partial(jax.jit, static_argnames=("kde_thresh",))
+def _fused_cost_jit(cols, ys, kde_thresh):
+    return _fused_cost_call(cols, ys, kde_thresh)
+
+
+def fused_curve_cost(cols, ys, kde_thresh: float = 0.0):
+    """Fused curve-cost quadratures, or ``None`` if ineligible.
+
+    Eligibility: TPU backend, even E (odd quadrature point counts — the
+    even-count Simpson tails never arise, so legacy ``even='avg'`` and
+    modern rules coincide, gpet.py:404-405), the two-level decomposition
+    engaged (M ≥ 4·H), S wide enough to beat the unfused path's fusions,
+    and the stacked col6 operand within its VMEM residency budget.
+    Returns ``(line_integral, arc_length)`` (S,) float32 arrays.
+    """
+    E, M = cols.shape
+    _, S = ys.shape
+    H = _H_for(M)
+    L = (M + H - 1) // H
+    col6_bytes = (((E + _BLK - 1) // _BLK) * _BLK) * 3 * (H + 1) * L * 2
+    if (jax.default_backend() != "tpu" or E % 2 != 0 or E < 2 * _BLK
+            or M < 4 * H or S < 128 or col6_bytes > _FUSED_COL6_BYTES):
+        return None
+    return _fused_cost_jit(cols, ys, float(kde_thresh))
 
 
 @functools.partial(jax.jit, static_argnames=("add_const",))

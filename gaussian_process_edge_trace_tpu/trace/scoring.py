@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from gaussian_process_edge_trace_tpu.ops.integrate import (
     simpson_nonuniform, simpson_weights)
-from gaussian_process_edge_trace_tpu.ops.pallas_interp import column_interp
+from gaussian_process_edge_trace_tpu.ops.pallas_interp import (
+    column_interp, fused_curve_cost)
 
 
 @functools.partial(jax.jit, static_argnames=("kde_thresh", "even"))
@@ -67,6 +68,18 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
         # columns (no gather).
         cols = jax.lax.dynamic_slice(
             grad_img.T, (x_grid[0], jnp.zeros((), x_grid.dtype)), (E, M))
+
+    # Fused path (TPU, even E, eligible shapes): interp AND both Simpson
+    # quadratures inside one Pallas pass — nothing (E, S)-shaped touches
+    # HBM. Even E ⇒ both quadratures have odd point counts, so the
+    # legacy even='avg' and modern rules coincide and the reduction below
+    # is the bitwise-same composite pair rule, summed per-row per-block
+    # (f32 reassociation only vs the unfused reduce fusions —
+    # ops/pallas_interp.fused_curve_cost docstring).
+    fused = fused_curve_cost(cols, y_samples, kde_thresh=kde_thresh)
+    if fused is not None:
+        line_integral, arc_length = fused
+        return (arc_length / line_integral).astype(dtype)
     # The +kde_thresh floor (gpet.py:392) rides the interp kernel's
     # epilogue: issued separately it is a full read+write pass over the
     # (E, S) result — 23 ms of the 1000², S=10⁵ device profile.
