@@ -18,7 +18,9 @@ claim directly on whatever backend it runs on (VERDICT r3 item 4):
   the gather formulation (``ops/pallas_interp.column_interp``);
 - ``ops/pallas_chol.cholesky_auto`` (+ triangular solves) vs
   ``jnp.linalg.cholesky`` / ``jax.scipy`` at n=104 (direct in-VMEM kernel)
-  and n=208 (blocked-panel path).
+  and n=208 (blocked-panel path);
+- the fused curve-cost kernel (``ops/pallas_interp._fused_cost_call``)
+  vs the unfused interp + Simpson reductions at the demo shape.
 
 Entry points: ``run_selftest()`` (returns a result list, raises on
 failure) and ``python bench.py --selftest`` (driver-facing; bench.py also
@@ -173,12 +175,51 @@ def _check_cholesky(rng):
         assert rel < 2e-5, f"backward_solve n={n}: rel err {rel:.2e}"
 
 
+def _check_fused_cost(rng):
+    """Fused curve-cost kernel vs the unfused interp+Simpson reductions
+    (trace/scoring.py::curve_costs) on the running backend — the fused
+    Pallas pass (clamped index maps feeding a revisited += accumulator,
+    masked edge blocks) is Mosaic-compiled only on TPU, so this is the
+    hardware pin the CPU suite structurally cannot provide (ADVICE r4).
+    Device-validated on v5e 2026-08-19: rel err ≤ 1.5e-5 at (500,500,1000),
+    (502,500,1000), (500,500,4133) and (1000,1000,10000)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_process_edge_trace_tpu.ops.integrate import (
+        simpson_nonuniform, simpson_weights)
+    from gaussian_process_edge_trace_tpu.ops.pallas_interp import (
+        _fused_cost_jit, column_interp)
+
+    E, M, S = 500, 500, 1000
+    # Non-negative cols (a gradient image): the line integral is then a
+    # positive, well-conditioned sum — signed test data makes it a
+    # cancelled sum whose relative error is meaningless.
+    cols = jnp.asarray(np.abs(rng.standard_normal((E, M))), jnp.float32)
+    ys = jnp.asarray(rng.uniform(-1.0, M, (E, S)), jnp.float32)
+    fl, fa = jax.device_get(_fused_cost_jit(cols, ys, 1e-3))
+
+    @jax.jit
+    def unfused(cols, ys):
+        g = column_interp(cols, ys, add_const=1e-3)
+        dy = jnp.diff(ys, axis=0)
+        step = jnp.sqrt(1.0 + dy * dy)
+        line = simpson_nonuniform(g[:-1], h=step[1:], axis=0)
+        arc_w = simpson_weights(jnp.arange(E - 1, dtype=ys.dtype))
+        return line, jnp.sum(arc_w[:, None] * step, axis=0)
+
+    ul, ua = jax.device_get(unfused(cols, ys))
+    np.testing.assert_allclose(fl, ul, rtol=1e-4)
+    np.testing.assert_allclose(fa, ua, rtol=1e-5)
+
+
 _CHECKS = [
     ("take_eq_onehot_rows", _check_take_eq_onehot),
     ("take_eq_onehot_topk", _check_topk_take_eq_onehot),
     ("split3_bf16_exact", _check_split3_bf16),
     ("interp_kernels_agree", _check_interp_kernels),
     ("cholesky_auto_vs_jnp", _check_cholesky),
+    ("fused_cost_vs_unfused", _check_fused_cost),
 ]
 
 

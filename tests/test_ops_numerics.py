@@ -231,6 +231,48 @@ def test_interp_kernels_bitwise_equivalent(E, M, S):
     np.testing.assert_allclose(two_level, gather, rtol=2e-6, atol=2e-7)
 
 
+@pytest.mark.parametrize("E,M,S", [
+    (502, 500, 256),    # E % _BLK != 0: padded E rows + clamped ys views
+    (500, 1000, 1000),  # S % s_blk != 0 (budget 896): masked edge S block
+    (48, 72, 160),      # smallest eligible octave (H=4), single blocks
+])
+def test_fused_cost_call_matches_reductions(E, M, S):
+    """ops/pallas_interp._fused_cost_call (the fused interp + double-
+    Simpson curve-cost kernel) vs the unfused reductions, run through the
+    interpret-mode pallas_call on CPU — fused_curve_cost's backend gate
+    means the public path never reaches the kernel off-TPU, so this calls
+    it directly (ADVICE r4). Shapes cover the padded-E clamped index maps
+    and the masked edge S block; the on-hardware pin is
+    utils/selftest.py::_check_fused_cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_process_edge_trace_tpu.ops import pallas_interp as pi
+    from gaussian_process_edge_trace_tpu.ops.integrate import (
+        simpson_nonuniform, simpson_weights)
+
+    rng = np.random.default_rng(11)
+    # Non-negative cols: the line integral is a positive well-conditioned
+    # sum (a signed one cancels and has no meaningful relative error).
+    cols = jnp.asarray(rng.random((E, M)), jnp.float32)
+    ys = jnp.asarray(np.concatenate([
+        rng.uniform(0, M - 1, (E, S - 16)),
+        rng.integers(0, M, (E, 8)).astype(float),
+        rng.uniform(-3, M + 3, (E, 8))], axis=1), jnp.float32)
+
+    fl, fa = jax.device_get(pi._fused_cost_jit(cols, ys, 1e-3))
+
+    g = jnp.asarray(pi._column_interp_gather(cols, ys, add_const=1e-3),
+                    jnp.float64)
+    ysd = jnp.asarray(ys, jnp.float64)
+    step = jnp.sqrt(1.0 + jnp.diff(ysd, axis=0) ** 2)
+    ul = np.asarray(simpson_nonuniform(g[:-1], h=step[1:], axis=0))
+    arc_w = simpson_weights(jnp.arange(E - 1, dtype=jnp.float64))
+    ua = np.asarray(jnp.sum(arc_w[:, None] * step, axis=0))
+    np.testing.assert_allclose(fl, ul, rtol=1e-4)
+    np.testing.assert_allclose(fa, ua, rtol=1e-5)
+
+
 def test_split3_bf16_exact_reconstruction():
     """The interp kernel's 3-way bf16 split reconstructs every f32
     bitwise (h1+h2+h3 == c), including under jit — an astype round trip

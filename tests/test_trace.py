@@ -116,6 +116,46 @@ def test_curve_costs_match_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
+def test_curve_costs_fused_and_unfused_paths_agree(monkeypatch):
+    """curve_costs' fused early-return and the unfused reductions compute
+    the same costs (ADVICE r4): on CPU the fused arm is forced by
+    monkeypatching the (backend-gated) fused_curve_cost with a direct
+    _fused_cost_call, so a future eligibility-gate change cannot silently
+    fork the cost semantics between the two paths."""
+    import jax.numpy as jnp
+
+    from gaussian_process_edge_trace_tpu.ops import pallas_interp as pi
+    from gaussian_process_edge_trace_tpu.trace import scoring
+
+    rng = np.random.RandomState(5)
+    M, N, x_st, E, S = 64, 80, 3, 48, 160   # even E, eligible shape
+    grad = rng.uniform(0, 1, (M, N))
+    x = np.arange(x_st, x_st + E)
+    y = _random_curves(rng, M, N, x_st, E, S)
+
+    # Unjitted call so the monkeypatched global is actually consulted
+    # (the jit cache would otherwise replay the first-traced path).
+    fn = scoring.curve_costs.__wrapped__
+    unfused_cost = np.asarray(
+        fn(jnp.asarray(grad), jnp.asarray(x), jnp.asarray(y),
+           kde_thresh=1e-3, cols=None, even="simpson"))
+
+    def forced_fused(cols, ys, kde_thresh=0.0):
+        assert cols.shape[0] % 2 == 0, "fused path requires even E"
+        return pi._fused_cost_jit(jnp.asarray(cols, jnp.float32),
+                                  jnp.asarray(ys, jnp.float32),
+                                  float(kde_thresh))
+
+    monkeypatch.setattr(scoring, "fused_curve_cost", forced_fused)
+    fused_cost = np.asarray(
+        fn(jnp.asarray(grad), jnp.asarray(x), jnp.asarray(y),
+           kde_thresh=1e-3, cols=None, even="simpson"))
+
+    # Fused kernel is f32; the unfused CPU path runs f64 under the test
+    # config — agreement to f32 accumulation accuracy.
+    np.testing.assert_allclose(fused_cost, unfused_cost, rtol=2e-4)
+
+
 def test_best_curves_topk():
     rng = np.random.RandomState(4)
     E, S, K = 20, 30, 5
