@@ -1,12 +1,15 @@
-"""Headline benchmark: wall-clock per 500×500 edge trace (README demo
+"""Headline benchmark: device time per 500×500 edge trace (README demo
 config, BASELINE.json config 1).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-``value`` is the steady-state median wall-clock of the fused TPU trace in
-milliseconds and ``vs_baseline`` is the speedup factor over the CPU
-reference implementation (benchmarks/reference_cpu.py — the reference
-algorithm measured on this machine, since the reference's own KDEpy/skimage
-deps are not installed here). Diagnostics go to stderr.
+``value`` is the device-profiled time of the fused TPU trace in
+milliseconds (the wall clock through the axon tunnel is ~90% RTT jitter —
+VERDICT r4 item 6: r3→r4 `vs_baseline` swung 321×→191× on pure RTT noise
+while the device number improved; the wall number is still reported as
+``wall_ms``/``vs_baseline_wall``) and ``vs_baseline`` is the speedup over
+the CPU reference implementation (benchmarks/reference_cpu.py — the
+reference algorithm measured on this machine, since the reference's own
+KDEpy/skimage deps are not installed here). Diagnostics go to stderr.
 """
 
 from __future__ import annotations
@@ -23,8 +26,24 @@ def log(*a):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache (VERDICT r4 item 3): the CLI already
+    # enables one; bench paid ~69 s of selftest compiles + a 39 s first
+    # call every run without it. Cold first run populates the cache;
+    # subsequent bench runs deserialise in ~s. GPET_NO_CACHE=1 opts out
+    # (for measuring true cold-compile time).
+    if not os.environ.get("GPET_NO_CACHE"):
+        cache_dir = os.environ.get(
+            "GPET_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        log(f"compilation cache: {cache_dir}")
 
     import gaussian_process_edge_trace_tpu as gpt
     from gaussian_process_edge_trace_tpu.trace.driver import (
@@ -63,7 +82,8 @@ def main():
     _ = float(jnp.sum(data.grad_img))
     t0 = time.perf_counter()
     res = jax.block_until_ready(run_trace(cfg, data, state0))
-    log(f"first call (incl compile): {time.perf_counter() - t0:.2f}s")
+    first_call_s = time.perf_counter() - t0
+    log(f"first call (incl compile): {first_call_s:.2f}s")
     # Timed loops force completion by FETCHING a scalar result leaf —
     # block_until_ready through the tunnel is not reliably a wait
     # (observed r3: it sometimes returns at ~1 RTT with the program
@@ -177,11 +197,13 @@ def main():
     assert min(dices) > 0.97, f"accuracy regression: seed DICEs {per_seed}"
 
     print(json.dumps({
-        "metric": "trace_500x500_wallclock",
-        "value": round(tpu_ms, 2),
+        "metric": "trace_500x500_device_ms",
+        "value": round(dev_ms, 2),
         "unit": "ms",
-        "vs_baseline": round(ref_ms / tpu_ms, 3),
-        "vs_baseline_device": round(ref_ms / dev_ms, 1),
+        "vs_baseline": round(ref_ms / dev_ms, 1),
+        "wall_ms": round(tpu_ms, 2),
+        "vs_baseline_wall": round(ref_ms / tpu_ms, 3),
+        "first_call_s": round(first_call_s, 2),
         "gflops_per_trace": round(gflops, 2),
         "achieved_tflops_s": round(flops_s / 1e12, 4),
         "mfu": round(mfu_val, 5),

@@ -153,10 +153,13 @@ def denoise(image, technique, kwargs, plot=False, verbose=False):
     ``tvb`` (split-Bregman TV) — scikit-image is not required (PARITY.md
     documents the in-kind equivalences for wavelet/tvb).
 
-    Caveat (in-kind, not bit-faithful): ``wavelet`` always runs the Haar
-    DWT — a non-Haar ``wavelet=`` kwarg (e.g. ``'db2'``) is accepted for
-    signature compatibility but the output then differs from
-    ``skimage.restoration.denoise_wavelet``; ``tvb`` minimises the same
+    Caveat (in-kind, not bit-faithful): ``wavelet`` honours
+    ``wavelet=`` for the Daubechies family ``db1``–``db4`` (real filter
+    pairs + QMF, ``denoise_native._DB_FILTERS``) and raises
+    ``NotImplementedError`` for any other pywt name rather than silently
+    substituting; boundary handling is edge-pad + periodic wrap, which
+    differs from pywt's symmetric extension on the outer L-2 border
+    pixels per level (PARITY.md C18). ``tvb`` minimises the same
     split-Bregman objective with a damped-Jacobi inner solve, so
     per-pixel values differ from skimage's Gauss-Seidel at equal
     ``max_num_iter`` (gpet_utils.py:134-140).
