@@ -178,15 +178,17 @@ def shannon_entropy(image, base=2):
 # gpet_utils.py:134-140 -> skimage.restoration.denoise_wavelet, which
 # forwards the user's ``wavelet=`` kwarg to pywt). Native multi-level
 # 2-D DWT for the Daubechies family db1..db4 with BayesShrink/VisuShrink
-# soft/hard thresholding and the standard MAD noise estimate — the same
-# algorithm-in-kind; bit parity with pywt is not claimed (pywt and
-# scikit-image are not installed here to compare against, PARITY.md).
-# Boundary handling: odd axes are edge-padded to even, filters wrap
-# periodically (orthonormal periodized DWT — exact perfect
-# reconstruction, unit-tested), vs pywt's default symmetric extension:
-# the difference touches only the L-2 pixels nearest each border per
-# level. Unsupported wavelet names raise NotImplementedError rather than
-# silently substituting (VERDICT r3 item 5).
+# soft/hard thresholding and the standard MAD noise estimate.
+# Boundary handling (r5, VERDICT r4 item 8): pywt-style SYMMETRIC
+# half-sample extension with the expansive coefficient layout — the same
+# boundary semantics the reference inherits through skimage → pywt
+# (gpet_utils.py:134-140); the earlier edge-pad + periodic-wrap policy
+# differed on the L-2 border pixels per level. Exact perfect
+# reconstruction is pinned across db1-db4 × odd/even sizes; BIT parity
+# with pywt is still not claimed (pywt/scikit-image are not installed
+# here to compare against, PARITY.md). Unsupported wavelet names raise
+# NotImplementedError rather than silently substituting (VERDICT r3
+# item 5).
 # ---------------------------------------------------------------------------
 
 _SQRT2 = 2.0 ** 0.5
@@ -216,40 +218,63 @@ def _qmf(h):
 
 
 def _wave_fwd_axis(x, h, g, axis):
-    """One periodized analysis level along ``axis``:
-    ``a[k] = Σ_j h[j] x[(2k+j) mod n]`` (and d with g). Odd axes are
-    edge-padded to even first (same policy as the Haar path). Static-tap
-    rolls + stride-2 slices only — no gathers."""
+    """One SYMMETRIC-EXTENSION analysis level along ``axis`` (pywt
+    ``mode='symmetric'`` boundary semantics, the default the reference
+    inherits through skimage → pywt, gpet_utils.py:134-140): the signal
+    is extended by L−1 half-sample-mirrored samples each side
+    (``[x_{L-2}..x_0 | x | x_{n-1}..x_{n-L+1}]``) and
+
+        a[k] = Σ_j h[j] · ext[2k + 1 + j],   k < (n + L − 1) // 2
+
+    (d with the QMF highpass g). The expansive output length and the
+    phase/crop pairing with :func:`_wave_inv_axis` were fixed by
+    exhaustive search for exact perfect reconstruction (pinned across
+    db1–db4 × odd/even n in tests/test_denoise_and_diff.py). Static
+    slices + flips only — no gathers. Requires ``n ≥ L`` (the level cap
+    in :func:`denoise_wavelet` guarantees it, pywt ``dwt_max_level``)."""
     n = x.shape[axis]
-    if n % 2 == 1:
-        edge = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
-        x = jnp.concatenate([x, edge], axis=axis)
     L = int(h.shape[0])
+    assert n >= L, (n, L)
+    left = jnp.flip(jax.lax.slice_in_dim(x, 0, L - 1, axis=axis),
+                    axis=axis)
+    right = jnp.flip(jax.lax.slice_in_dim(x, n - L + 1, n, axis=axis),
+                     axis=axis)
+    ext = jnp.concatenate([left, x, right], axis=axis)
+    out_len = (n + L - 1) // 2
     lo = hi = None
     for j in range(L):
-        xr = jnp.roll(x, -j, axis=axis) if j else x
-        xr = jax.lax.slice_in_dim(xr, 0, None, stride=2, axis=axis)
+        xr = jax.lax.slice_in_dim(ext, 1 + j, 2 * out_len + j, stride=2,
+                                  axis=axis)
         lo = h[j] * xr if lo is None else lo + h[j] * xr
         hi = g[j] * xr if hi is None else hi + g[j] * xr
     return lo, hi
 
 
 def _wave_inv_axis(lo, hi, h, g, n, axis):
-    """Inverse of :func:`_wave_fwd_axis` (transpose of the orthonormal
-    analysis operator): upsample by 2, add h[j]·roll(up_a, j) +
-    g[j]·roll(up_d, j), crop back to ``n``."""
+    """Inverse of :func:`_wave_fwd_axis`: upsample by 2, full-convolve
+    with the reconstruction pair (rolls over a zero-tail-padded array ==
+    shifts), sum, and crop the centred ``[L−2, L−2+n)`` window."""
+    L = int(h.shape[0])
     up_shape = list(lo.shape)
     k = up_shape[axis]
     up_shape[axis] = 2 * k
     za = jnp.stack([lo, jnp.zeros_like(lo)], axis=axis + 1).reshape(up_shape)
     zd = jnp.stack([hi, jnp.zeros_like(hi)], axis=axis + 1).reshape(up_shape)
+    if L > 2:
+        pad = [(0, 0)] * za.ndim
+        pad[axis] = (0, L - 2)
+        za = jnp.pad(za, pad)
+        zd = jnp.pad(zd, pad)
     out = None
-    for j in range(int(h.shape[0])):
+    for j in range(L):
+        # The tail padding is all zeros, so roll-in wraparound equals a
+        # true shift (full convolution).
         ra = jnp.roll(za, j, axis=axis) if j else za
         rd = jnp.roll(zd, j, axis=axis) if j else zd
         term = h[j] * ra + g[j] * rd
         out = term if out is None else out + term
-    return jax.lax.slice_in_dim(out, 0, n, axis=axis)
+    c = max(L - 2, 0)
+    return jax.lax.slice_in_dim(out, c, c + n, axis=axis)
 
 
 def _filters(wavelet, dtype=jnp.float32):
@@ -355,10 +380,15 @@ def denoise_wavelet(image, sigma=None, wavelet="db1", mode="soft",
     """
     _filters(wavelet)                       # validate the name up front
     x = jnp.asarray(image, jnp.float32)
-    max_level = int(np.floor(np.log2(min(x.shape))))
+    # pywt.dwt_max_level(n, L) = floor(log2(n / (L - 1))) — with the
+    # symmetric-extension transform every level needs n >= L.
+    L = len(_DB_FILTERS[wavelet])
+    max_level = int(np.floor(np.log2(min(x.shape) / max(L - 1, 1))))
     if wavelet_levels is None:
         wavelet_levels = max(max_level - 3, 1)
-    wavelet_levels = min(wavelet_levels, max_level)
+    wavelet_levels = max(min(wavelet_levels, max_level), 0)
+    if wavelet_levels == 0:       # image smaller than one filter support
+        return x
 
     ll = x
     pyramid = []

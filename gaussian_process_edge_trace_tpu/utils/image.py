@@ -155,11 +155,10 @@ def denoise(image, technique, kwargs, plot=False, verbose=False):
 
     Caveat (in-kind, not bit-faithful): ``wavelet`` honours
     ``wavelet=`` for the Daubechies family ``db1``–``db4`` (real filter
-    pairs + QMF, ``denoise_native._DB_FILTERS``) and raises
+    pairs + QMF, ``denoise_native._DB_FILTERS``) with pywt-style
+    symmetric boundary extension (r5), and raises
     ``NotImplementedError`` for any other pywt name rather than silently
-    substituting; boundary handling is edge-pad + periodic wrap, which
-    differs from pywt's symmetric extension on the outer L-2 border
-    pixels per level (PARITY.md C18). ``tvb`` minimises the same
+    substituting (PARITY.md C18). ``tvb`` minimises the same
     split-Bregman objective with a damped-Jacobi inner solve, so
     per-pixel values differ from skimage's Gauss-Seidel at equal
     ``max_num_iter`` (gpet_utils.py:134-140).

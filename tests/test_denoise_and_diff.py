@@ -185,25 +185,32 @@ def test_wave_dwt_perfect_reconstruction(wavelet):
 
 
 @pytest.mark.parametrize("wavelet", ["db2", "db4"])
-def test_wave_fwd_matches_numpy_oracle(wavelet):
+@pytest.mark.parametrize("n", [24, 25])
+def test_wave_fwd_matches_numpy_oracle(wavelet, n):
     """One analysis level along one axis vs an independent direct-sum
-    NumPy oracle of the periodized convolution a[k] = sum_j h[j]
-    x[(2k+j) mod n] (and d with the QMF highpass)."""
+    NumPy oracle of the SYMMETRIC-extension convolution (pywt
+    'symmetric' boundary semantics, VERDICT r4 item 8): extend by L-1
+    half-sample-mirrored samples each side, a[k] = sum_j h[j]
+    ext[2k+1+j] for k < (n+L-1)//2 (and d with the QMF highpass)."""
     from gaussian_process_edge_trace_tpu.utils.denoise_native import (
         _DB_FILTERS, _filters, _qmf, _wave_fwd_axis)
     h_np = _DB_FILTERS[wavelet]
     g_np = _qmf(h_np)
     rng = np.random.default_rng(4)
-    x = rng.normal(size=(1, 24))
-    n, L = 24, len(h_np)
-    a = np.zeros(n // 2)
-    d = np.zeros(n // 2)
-    for k in range(n // 2):
+    x = rng.normal(size=(1, n))
+    L = len(h_np)
+    ext = np.concatenate([x[0, :L - 1][::-1], x[0],
+                          x[0, n - L + 1:][::-1]])
+    out_len = (n + L - 1) // 2
+    a = np.zeros(out_len)
+    d = np.zeros(out_len)
+    for k in range(out_len):
         for j in range(L):
-            a[k] += h_np[j] * x[0, (2 * k + j) % n]
-            d[k] += g_np[j] * x[0, (2 * k + j) % n]
+            a[k] += h_np[j] * ext[2 * k + 1 + j]
+            d[k] += g_np[j] * ext[2 * k + 1 + j]
     h, g = _filters(wavelet, jnp.float64)
     lo, hi = _wave_fwd_axis(jnp.asarray(x), h, g, axis=1)
+    assert lo.shape == (1, out_len)
     np.testing.assert_allclose(np.asarray(lo)[0], a, atol=1e-12)
     np.testing.assert_allclose(np.asarray(hi)[0], d, atol=1e-12)
 
