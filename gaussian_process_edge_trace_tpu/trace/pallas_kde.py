@@ -57,6 +57,19 @@ def _hb_for(M: int) -> int:
 
 
 _BLK2L = 8   # columns per 2l grid program (each is a static unrolled MXU dot)
+# Sample chunk per program (VMEM ~(NB + 4·Tt)·s_blk·4 B ≈ 6.5 MB at the
+# cap). Swept on v5e at (E,S,M)=(1000,10⁴,1000): 1024 → 2.12 ms,
+# 2048 → 1.94, 4096 → 2.19, 8192 → 2.79, 16384 (single chunk) → 1.74 —
+# one unchunked pass avoids the revisited-accumulator grid entirely.
+_S_BLK2L = 16384
+
+
+def _trunc_bf16(x):
+    """Truncate f32 to its top 8 mantissa bits (exactly bf16-representable)
+    by masking — round-toward-zero, so ``x - _trunc_bf16(x)`` is exact."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(xi & jnp.uint32(0xFFFF0000),
+                                        jnp.float32)
 
 
 def _binning_2l_kernel(y_ref, w_ref, out_ref, *, Hb, M, NB, S):
@@ -90,7 +103,7 @@ def _binning_2l_kernel(y_ref, w_ref, out_ref, *, Hb, M, NB, S):
     in_range = (sid < S)[0]
     w_all = jnp.where(in_range, w_ref[0, :], 0.0)
 
-    acc = jnp.zeros((out_ref.shape[0], NB, Tt), jnp.float32)
+    rows = []
     for j in range(out_ref.shape[0]):                    # static _BLK
         # Replace out-of-range lanes (masked-load garbage can be NaN,
         # and 0·NaN = NaN would poison the zero-weight product) with
@@ -108,12 +121,16 @@ def _binning_2l_kernel(y_ref, w_ref, out_ref, *, Hb, M, NB, S):
         w2 = wv * f
         taps = (jnp.where(ts == r[None, :], w1[None, :], 0.0)
                 + jnp.where(ts == r[None, :] + 1, w2[None, :], 0.0))
-        # In-kernel exact 3-way bf16 split (see _split3_bf16: the
-        # rounding must be lax.reduce_precision, not an astype round
-        # trip XLA could elide).
-        h1 = jax.lax.reduce_precision(taps, 8, 7)
+        # In-kernel exact 3-way bf16 split. Mosaic has no
+        # reduce_precision lowering, so use bit-mask TRUNCATION instead
+        # of round-to-nearest: masking the low 16 mantissa bits leaves a
+        # value exactly representable in bf16, each residual subtraction
+        # is exact (operands agree in their leading bits), and three
+        # 8-bit components cover the 24-bit f32 mantissa. Unlike an
+        # astype round trip there is nothing a simplifier can elide.
+        h1 = _trunc_bf16(taps)
         r1 = taps - h1
-        h2 = jax.lax.reduce_precision(r1, 8, 7)
+        h2 = _trunc_bf16(r1)
         t6 = jnp.concatenate(
             [h1.astype(jnp.bfloat16), h2.astype(jnp.bfloat16),
              (r1 - h2).astype(jnp.bfloat16)], axis=0)    # (3Tt, s_blk)
@@ -122,8 +139,8 @@ def _binning_2l_kernel(y_ref, w_ref, out_ref, *, Hb, M, NB, S):
             onehot, t6, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)          # (NB, 3Tt)
-        acc = acc.at[j].set((big[:, :Tt] + big[:, Tt:2 * Tt])
-                            + big[:, 2 * Tt:])
+        rows.append((big[:, :Tt] + big[:, Tt:2 * Tt]) + big[:, 2 * Tt:])
+    acc = jnp.stack(rows, axis=0)
 
     @pl.when(k == 0)
     def _init():
@@ -149,7 +166,7 @@ def _binning_2l(y_curves, weights, M: int):
                  constant_values=-10.0)  # padded rows: out-of-image => 0
     w = weights.astype(jnp.float32)[None, :]
     # Sample chunk: bounds the (NB + 4·Tt, s_blk) VMEM intermediates.
-    s_blk = min(S, 4096)
+    s_blk = min(S, _S_BLK2L)
     n_sblk = (S + s_blk - 1) // s_blk
     C = pl.pallas_call(
         functools.partial(_binning_2l_kernel, Hb=Hb, M=M, NB=NB, S=S),
@@ -214,9 +231,20 @@ def column_binning(y_curves, weights, M: int, use_pallas: bool = False):
     underutilises the MXU and the grid sequencing costs more than the
     HBM traffic it saves. Kept for larger S (BASELINE config 4, N_samples
     → 10⁵) where the dense (M, E, S) contraction stops fitting."""
-    if use_pallas and jax.default_backend() == "tpu":
-        return _binning_pallas(y_curves, weights, M).astype(y_curves.dtype)
+    if jax.default_backend() == "tpu":
+        if use_pallas:
+            return _binning_pallas(y_curves, weights, M).astype(
+                y_curves.dtype)
+        if y_curves.shape[1] >= _2L_MIN_S:
+            return _binning_2l(y_curves, weights, M).astype(y_curves.dtype)
     return _binning_dense_chunked(y_curves, weights, M)
+
+
+# Kept-curve count above which the two-level adjoint kernel replaces the
+# dense hat (device-profiled crossover on v5e, r5: at S=100 the dense
+# fusion wins at every M (0.031 vs 0.084 ms at M=500); at S=400 the 2l
+# kernel wins at every M (1.55-2.60x); from S=1000 it wins 4-12x).
+_2L_MIN_S = 256
 
 
 # Target size for one hat-contraction block: (M+2)·E·chunk elements.

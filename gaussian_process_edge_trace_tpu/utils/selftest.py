@@ -20,7 +20,9 @@ claim directly on whatever backend it runs on (VERDICT r3 item 4):
   ``jnp.linalg.cholesky`` / ``jax.scipy`` at n=104 (direct in-VMEM kernel)
   and n=208 (blocked-panel path);
 - the fused curve-cost kernel (``ops/pallas_interp._fused_cost_call``)
-  vs the unfused interp + Simpson reductions at the demo shape.
+  vs the unfused interp + Simpson reductions at the demo shape;
+- the two-level adjoint binning kernel (``trace/pallas_kde._binning_2l``)
+  vs the dense hat contraction at the gated production shapes.
 
 Entry points: ``run_selftest()`` (returns a result list, raises on
 failure) and ``python bench.py --selftest`` (driver-facing; bench.py also
@@ -213,6 +215,32 @@ def _check_fused_cost(rng):
     np.testing.assert_allclose(fa, ua, rtol=1e-5)
 
 
+def _check_binning_2l(rng):
+    """Two-level adjoint binning (trace/pallas_kde._binning_2l: compact
+    taps + block one-hot MXU contraction with the in-kernel bit-mask
+    bf16 split) vs the dense hat contraction on the running backend —
+    the Mosaic-compiled path (revisited accumulator blocks, masked S
+    edge, truncation split exactness) only exists on TPU."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_process_edge_trace_tpu.trace import pallas_kde as pk
+
+    for E, S, M in [(1000, 1000, 1000), (500, 999, 500)]:
+        y = np.asarray(rng.uniform(-3, M + 2, (E, S)), np.float32)
+        y[:, :4] = [0.0, M - 1.0, M / 2, -1.0]
+        yj = jnp.asarray(y)
+        w = jnp.asarray(rng.random(S), jnp.float32)
+        ref = np.asarray(jax.jit(functools.partial(
+            pk._binning_dense_chunked, M=M))(yj, w))
+        got = np.asarray(jax.jit(functools.partial(
+            pk._binning_2l.__wrapped__, M=M))(yj, w))
+        rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert rel < 1e-5, f"binning_2l (E,S,M)=({E},{S},{M}): {rel:.2e}"
+
+
 _CHECKS = [
     ("take_eq_onehot_rows", _check_take_eq_onehot),
     ("take_eq_onehot_topk", _check_topk_take_eq_onehot),
@@ -220,6 +248,7 @@ _CHECKS = [
     ("interp_kernels_agree", _check_interp_kernels),
     ("cholesky_auto_vs_jnp", _check_cholesky),
     ("fused_cost_vs_unfused", _check_fused_cost),
+    ("binning_2l_vs_dense", _check_binning_2l),
 ]
 
 

@@ -12,4 +12,5 @@ def test_selftest_runs_green():
     results = run_selftest()
     assert [name for name, _ in results] == [
         "take_eq_onehot_rows", "take_eq_onehot_topk", "split3_bf16_exact",
-        "interp_kernels_agree", "cholesky_auto_vs_jnp"]
+        "interp_kernels_agree", "cholesky_auto_vs_jnp",
+        "fused_cost_vs_unfused", "binning_2l_vs_dense"]

@@ -42,6 +42,39 @@ def test_curve_kde_matches_oracle():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.parametrize("E,S,M", [
+    (500, 100, 500),     # demo kept-curve shape (below the TPU gate)
+    (37, 33, 129),       # E % _BLK2L != 0 (padded rows), odd M
+    (48, 5000, 257),     # 3 chunks + masked S edge under the patched
+                         # _S_BLK2L=2048 below
+    (1000, 1000, 1000),  # the 1000² S=10⁴ kept-curve shape
+])
+def test_binning_2l_matches_dense(E, S, M, monkeypatch):
+    """trace/pallas_kde._binning_2l (the two-level ADJOINT binning: compact
+    taps + block one-hot MXU contraction, VERDICT r4 item 1c) vs the dense
+    hat contraction, via the interpret-mode pallas_call on CPU. The gate
+    (column_binning, TPU-only) never reaches it off-TPU, so this calls it
+    directly; the on-hardware pin is utils/selftest.py::_check_binning_2l.
+    Includes exact integers, the image edges and out-of-image sentinels;
+    also forces multi-chunk accumulation + the masked S edge chunk by
+    shrinking _S_BLK2L."""
+    import jax
+
+    from gaussian_process_edge_trace_tpu.trace import pallas_kde as pk
+
+    monkeypatch.setattr(pk, "_S_BLK2L", 2048)  # force chunked + edge mask
+    rng = np.random.default_rng(7)
+    y = np.asarray(rng.uniform(-3, M + 2, (E, S)), np.float32)
+    y[:, :4] = [0.0, M - 1.0, M / 2, -1.0]
+    yj = jnp.asarray(y)
+    w = jnp.asarray(rng.random(S), jnp.float32)
+    ref = np.asarray(pk._binning_dense_chunked(yj, w, M))
+    got = np.asarray(jax.jit(
+        lambda a, b: pk._binning_2l.__wrapped__(a, b, M))(yj, w))
+    np.testing.assert_allclose(got, ref, rtol=1e-5,
+                               atol=1e-6 * np.max(np.abs(ref)))
+
+
 def test_curve_kde_close_to_direct_gaussian_sum():
     # Binned KDE must preserve the *shape* of the direct Gaussian-sum KDE
     # (rank correlation drives pixel selection, SURVEY.md §7).
