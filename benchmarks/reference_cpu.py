@@ -294,6 +294,10 @@ class ReferenceTracerCPU:
         V = scipy.linalg.solve_triangular(L, Ks.T, lower=True)
         var = np.maximum(c - np.sum(V * V, axis=0), 0.0)
         std = np.sqrt(var)
+        # Stash the y standardisation scale so calibration studies can
+        # form the CORRECTED pixel-unit interval (mean ± 1.96·y_s·std)
+        # without changing the quirk-preserving return contract.
+        self.last_y_scale = y_s
         return y_s * mean + y_m, std   # std unscaled: reference quirk
 
     # -- driver ---------------------------------------------------------------

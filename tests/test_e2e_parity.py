@@ -140,9 +140,47 @@ def test_credible_interval_coverage():
     cov_px = float(np.mean((true_y >= lo) & (true_y <= hi)))
     lo2, hi2 = np.asarray(res.cred_interval)
     cov_quirk = float(np.mean((true_y >= lo2) & (true_y <= hi2)))
-    # The nominal 95% reflects function-space uncertainty only, so some
-    # undercoverage vs the noisy true edge is expected (same GP model as
-    # the reference); 0.7 catches calibration regressions.
-    assert cov_px >= 0.7, cov_px
+    # Calibration study (benchmarks/coverage_study.py, r5 — PARITY.md
+    # coverage table): at THIS config the 10-seed quirks-off coverage is
+    # median 0.82 [0.648, 0.992] and the CPU reference oracle matches
+    # (median 0.832, min 0.656) — the shortfall vs the nominal 95% is
+    # ALGORITHM-level (function-space-only uncertainty), not ours. The
+    # pinned seed measures 0.8125; 0.78 allows only numeric drift, not a
+    # calibration regression (was 0.7, VERDICT r4 item 4).
+    assert cov_px >= 0.78, cov_px
     assert cov_quirk < cov_px              # the quirk interval is narrower
     assert np.all(hi - lo > 0)
+
+
+@pytest.mark.slow
+def test_credible_interval_coverage_demo():
+    """Demo-config (README, 500² gaps) interval calibration: the r5 study
+    measured 10-seed coverage median 0.928 [0.87, 0.982] with the CPU
+    oracle at 0.942 (min 0.934) — near-nominal on the config users
+    actually run. Pinned seed 1 measures 0.982; the 0.85 floor sits below
+    the 10-seed minimum so only an implementation-level calibration break
+    trips it (VERDICT r4 item 4)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import gaussian_process_edge_trace_tpu as gpt
+    from gaussian_process_edge_trace_tpu.trace.driver import (
+        init_state, make_config, make_data, run_trace)
+
+    img, edge = gpt.construct_test_img((500, 500), 200, 4, 0.05,
+                                       "sinusoidal", 0.3, gaps=True)
+    grad = np.asarray(gpt.comp_grad_img(img, gpt.kernel_builder(
+        (11, 5), unit=False)))
+    init = edge[[0, -1]][:, [1, 0]]
+    cfg = make_config(init, grad.shape,
+                      kernel_options={"kernel": "RBF", "sigma_f": 75,
+                                      "length_scale": 20},
+                      noise_y=1, N_samples=1000, score_thresh=1,
+                      delta_x=5, keep_ratio=0.1, pixel_thresh=5, seed=1,
+                      fix_endpoints=True)
+    data = make_data(cfg, jnp.asarray(grad), jnp.asarray(init))
+    res = run_trace(cfg, data, init_state(cfg))
+    true_y = edge[:500, 0]
+    lo, hi = np.asarray(res.cred_interval_px)
+    cov_px = float(np.mean((true_y >= lo) & (true_y <= hi)))
+    assert cov_px >= 0.85, cov_px
