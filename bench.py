@@ -188,6 +188,18 @@ def main():
     log(f"cpu reference: {ref_ms:.1f} ms  iters={ref_iters} "
         f"MSE={ref_mse:.2f} DICE={ref_dice:.4f}")
 
+    # --- peak serving throughput (measured by the suite's B=64-256 sweep,
+    # VERDICT r4 item 2; re-running that sweep each bench would dwarf the
+    # headline, so the row is read from the suite's artifact with its
+    # provenance field intact) -------------------------------------------
+    peak_row = {}
+    pt_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "peak_throughput.json")
+    if os.path.exists(pt_path):
+        with open(pt_path) as f:
+            peak_row = {"peak_throughput": json.load(f)}
+        log(f"peak throughput (suite 1d sweep): {peak_row}")
+
     # Regression gates: demo-config DICE has ranged 0.989-0.997 across
     # seeds/numerics changes with a long lower tail. The 3-seed median
     # catches regressions a single lucky seed would hide; the per-seed
@@ -217,6 +229,7 @@ def main():
         "batch16_traces_per_s": round(B / batch_s, 1),
         "batch16_dice_median": round(batch_dice[B // 2], 4),
         "ensemble5_dice": round(ens_dice, 4),
+        **peak_row,
     }))
 
 

@@ -46,7 +46,14 @@ def _device_ms(fn, *args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="substring filter on config tags (config 1, the "
+                         "demo trace, always runs — later rows reuse its "
+                         "state)")
     args = ap.parse_args()
+
+    def want(tag):
+        return (not args.only) or (args.only in tag)
 
     import jax
     import jax.numpy as jnp
@@ -110,7 +117,8 @@ def main():
             eds.append(ed)
         return np.stack(gs), np.stack(ins), eds
 
-    for B in ([16] if args.quick else [4, 16, 64]):
+    for B in ((  [16] if args.quick else [4, 16, 64])
+              if want("1b") else []):
         gs, ins, eds = batch_frames(B)
         cfgb = make_config(ins[0], (500, 500),
                            kernel_options={"kernel": "RBF", "sigma_f": 75,
@@ -135,27 +143,86 @@ def main():
              iters_median=int(np.median(it_b)),
              iters_max=int(it_b.max()))
 
+    # ---- config 1d: serving throughput ceiling (VERDICT r4 item 2) --------
+    # Where does per-chip throughput saturate? Sweep the batch width past
+    # the r4 endpoint (B=64) with a tile-width A/B at each point, then
+    # emit the peak traces/s per chip + device MFU at saturation.
+    if not args.quick and want("1d"):
+        import gaussian_process_edge_trace_tpu.parallel.sharded as _sh
+
+        saved_tile = _sh._BATCH_TILE
+        peak = None
+        try:
+            for B in [64, 128, 256]:
+                gs, ins, eds = batch_frames(B)
+                cfgd = make_config(
+                    ins[0], (500, 500),
+                    kernel_options={"kernel": "RBF", "sigma_f": 75,
+                                    "length_scale": 20},
+                    noise_y=1, N_samples=1000, score_thresh=1, delta_x=5,
+                    keep_ratio=0.1, pixel_thresh=5, seed=1,
+                    fix_endpoints=True)
+                datad = make_batch_data(cfgd, gs, ins)
+                statesd = make_batch_state(cfgd, B)
+                for tile in (8, 16):
+                    _sh._BATCH_TILE = tile
+                    jax.clear_caches()   # _BATCH_TILE is read at trace time
+                    ms = _device_ms(trace_batch_vmap, cfgd, datad, statesd)
+                    rb = trace_batch_vmap(cfgd, datad, statesd)
+                    dice_b = float(np.median([gpt.trace_dicecoef(
+                        np.asarray(rb.edge_trace)[f], eds[f])
+                        for f in range(B)]))
+                    fl = sum(trace_flops(cfgd, int(i))["total"]
+                             for i in np.asarray(rb.n_iters))
+                    tps = B / (ms / 1e3)
+                    mfu = fl / (ms / 1e3) / device_peak_flops()
+                    emit(f"1d_throughput_B{B}_tile{tile}", ms / B,
+                         total_ms=round(ms, 1),
+                         traces_per_s=round(tps, 1),
+                         device_mfu=round(mfu, 5),
+                         dice_median=round(dice_b, 4))
+                    if peak is None or tps > peak["traces_per_s"]:
+                        peak = {"B": B, "tile": tile,
+                                "traces_per_s": round(tps, 1),
+                                "ms_per_trace": round(ms / B, 3),
+                                "device_mfu": round(mfu, 5)}
+        finally:
+            _sh._BATCH_TILE = saved_tile
+            jax.clear_caches()
+        results.append({"config": "1d_peak_throughput", **peak})
+        print(json.dumps(results[-1]), flush=True)
+        # Persist for bench.py's headline JSON (VERDICT r4 item 2: the
+        # capacity number belongs in the bench artifact; re-measuring a
+        # B=256 sweep inside every bench run would dwarf it, so bench
+        # reports this row with its provenance).
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "peak_throughput.json"), "w") as f:
+            json.dump({**peak, "measured_by": "benchmarks.suite 1d sweep",
+                       "devices": str(jax.devices())}, f)
+
     # ---- config 2: preprocessing sweep ------------------------------------
-    for ksz in [(5, 3), (11, 5), (15, 7)]:
+    for ksz in ([(5, 3), (11, 5), (15, 7)] if want("2_") else []):
         k = gpt.kernel_builder(ksz, unit=False)  # host constant
         f = (lambda kk: (lambda im: gpt.comp_grad_img(im, kk)))(k)
         ms = _device_ms(f, jnp.asarray(test_img))
         emit(f"2_grad_img_500_k{ksz[0]}x{ksz[1]}", ms)
 
     # ---- config 3: hyperparameter-optimisation path -----------------------
-    state = init_state(cfg)
-    for _ in range(int(res.n_iters)):
-        state, _ = trace_step(cfg, data, state)
-    ms = _device_ms(finish_trace, cfg, data, state)
-    emit("3_lml_optimisation_13starts", ms,
-         lml=float(res.lml))
+    if want("3_"):
+        state = init_state(cfg)
+        for _ in range(int(res.n_iters)):
+            state, _ = trace_step(cfg, data, state)
+        ms = _device_ms(finish_trace, cfg, data, state)
+        emit("3_lml_optimisation_13starts", ms,
+             lml=float(res.lml))
 
     # ---- config 4: scaled posterior sampling at 1000x1000 ----------------
     big_img, big_edge = gpt.construct_test_img(
         (1000, 1000), 400, 4, 0.05, "sinusoidal", 0.3, gaps=True)
     big_grad = gpt.comp_grad_img(jnp.asarray(big_img), kb)
     big_init = big_edge[[0, -1]][:, [1, 0]]
-    for n_samples in ([1000] if args.quick else [1000, 10000]):
+    for n_samples in (([1000] if args.quick else [1000, 10000])
+                      if want("4_") else []):
         cfg4 = make_config(
             big_init, (1000, 1000),
             kernel_options={"kernel": "RBF", "sigma_f": 200,
@@ -175,18 +242,19 @@ def main():
     # argmin-final-cost one (the cost rank-orders seed quality; BASELINE).
     from gaussian_process_edge_trace_tpu.parallel import trace_ensemble
 
-    st0 = init_state(cfg)
-    ems = _device_ms(trace_ensemble, cfg, data, st0, 5)
-    ebest = trace_ensemble(cfg, data, st0, n_seeds=5)
-    emit("1c_ensemble_best_of_5", ems,
-         dice=float(gpt.trace_dicecoef(np.asarray(ebest.edge_trace),
-                                       true_edge)),
-         final_cost=float(ebest.final_cost))
+    if want("1c"):
+        st0 = init_state(cfg)
+        ems = _device_ms(trace_ensemble, cfg, data, st0, 5)
+        ebest = trace_ensemble(cfg, data, st0, n_seeds=5)
+        emit("1c_ensemble_best_of_5", ems,
+             dice=float(gpt.trace_dicecoef(np.asarray(ebest.edge_trace),
+                                           true_edge)),
+             final_cost=float(ebest.final_cost))
 
     # ---- config 4b: 2000x2000 stretch (next size octave) ------------------
     # Exercises _H_for=16 interp blocks, the n_train=408 coarse-to-fine
     # fit and the shifted-FMA KDE blur end-to-end.
-    if not args.quick:
+    if not args.quick and want("4b"):
         img2k, edge2k = gpt.construct_test_img(
             (2000, 2000), 700, 4, 0.05, "sinusoidal", 0.3, gaps=True)
         grad2k = gpt.comp_grad_img(jnp.asarray(img2k), kb)
@@ -210,7 +278,7 @@ def main():
     # _BLUR_MATMUL_MAX=600 gate so the long axis blurs as shifted FMAs
     # while the short one stays a Toeplitz matmul — both orientations
     # exercise the (E, M) grad-column vs (M, N) KDE axis handling.
-    if not args.quick:
+    if not args.quick and want("4c"):
         # Config picked by a CPU sweep (r4): the tall orientation needs a
         # gentle edge slope — amp=500 @ curvature 4 over 512 columns is a
         # ~25 px/px near-vertical edge that NO y(x) tracer (reference
@@ -237,54 +305,59 @@ def main():
                  iters=int(rns.n_iters))
 
     # ---- config 5: warm-started frame sequence ----------------------------
-    rngf = np.random.RandomState(0)
-    frames, inits = [], []
-    n_frames = 3
-    base_img, base_edge = gpt.construct_test_img(
-        (500, 500), 200, 4, 0.03, "sinusoidal", 0.3, gaps=False)
-    for f_i in range(n_frames):
-        img = np.clip(base_img
-                      + rngf.normal(0, 0.02, base_img.shape), 0, 1)
-        frames.append(np.asarray(
-            gpt.comp_grad_img(jnp.asarray(img), kb)))
-        inits.append(base_edge[[0, -1]][:, [1, 0]])
-    cfg5 = make_config(inits[0], (500, 500),
-                       kernel_options={"kernel": "RBF", "sigma_f": 75,
-                                       "length_scale": 20},
-                       noise_y=1, N_samples=1000, score_thresh=1,
-                       delta_x=5, keep_ratio=0.1, pixel_thresh=5, seed=1,
-                       fix_endpoints=True)
-    trace_sequence(cfg5, frames, inits)       # compile warm+cold configs
-    t0 = time.perf_counter()
-    seq = trace_sequence(cfg5, frames, inits)
-    seq_ms = (time.perf_counter() - t0) * 1e3
-    emit("5_sequence_3frames_warmstart", seq_ms,
-         iters=[int(r.n_iters) for r in seq],
-         mse=[float(gpt.trace_MSE(np.asarray(r.edge_trace), base_edge))
-              for r in seq])
+    if want("5_"):
+        rngf = np.random.RandomState(0)
+        frames, inits = [], []
+        n_frames = 3
+        base_img, base_edge = gpt.construct_test_img(
+            (500, 500), 200, 4, 0.03, "sinusoidal", 0.3, gaps=False)
+        for f_i in range(n_frames):
+            img = np.clip(base_img
+                          + rngf.normal(0, 0.02, base_img.shape), 0, 1)
+            frames.append(np.asarray(
+                gpt.comp_grad_img(jnp.asarray(img), kb)))
+            inits.append(base_edge[[0, -1]][:, [1, 0]])
+        cfg5 = make_config(inits[0], (500, 500),
+                           kernel_options={"kernel": "RBF", "sigma_f": 75,
+                                           "length_scale": 20},
+                           noise_y=1, N_samples=1000, score_thresh=1,
+                           delta_x=5, keep_ratio=0.1, pixel_thresh=5,
+                           seed=1, fix_endpoints=True)
+        trace_sequence(cfg5, frames, inits)   # compile warm+cold configs
+        t0 = time.perf_counter()
+        seq = trace_sequence(cfg5, frames, inits)
+        seq_ms = (time.perf_counter() - t0) * 1e3
+        emit("5_sequence_3frames_warmstart", seq_ms,
+             iters=[int(r.n_iters) for r in seq],
+             mse=[float(gpt.trace_MSE(np.asarray(r.edge_trace),
+                                      base_edge))
+                  for r in seq])
 
     # ---- config 6: sharded dp x sp row (virtual mesh subprocess) ----------
     # Runs benchmarks/sharded_row.py in a clean subprocess so it can
     # provision an 8-device CPU mesh (this process holds the TPU). Pins
     # the sharded program's collective footprint from the compiled HLO.
-    import subprocess
+    if want("6_"):
+        import subprocess
 
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    proc = subprocess.run(
-        [sys.executable, "-m", "benchmarks.sharded_row"],
-        capture_output=True, text=True, env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    emitted = False
-    for line in proc.stdout.splitlines():
-        try:
-            row = json.loads(line)
-        except json.JSONDecodeError:
-            continue
-        results.append(row)
-        print(json.dumps(row), flush=True)
-        emitted = True
-    if not emitted:
-        log("sharded row failed:", proc.returncode, proc.stderr[-2000:])
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        proc = subprocess.run(
+            [sys.executable, "-m", "benchmarks.sharded_row"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+        emitted = False
+        for line in proc.stdout.splitlines():
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            results.append(row)
+            print(json.dumps(row), flush=True)
+            emitted = True
+        if not emitted:
+            log("sharded row failed:", proc.returncode,
+                proc.stderr[-2000:])
 
     log("\nsummary:")
     for r in results:
