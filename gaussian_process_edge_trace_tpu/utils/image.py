@@ -154,7 +154,7 @@ def denoise(image, technique, kwargs, plot=False, verbose=False):
     documents the in-kind equivalences for wavelet/tvb).
 
     Caveat (in-kind, not bit-faithful): ``wavelet`` honours
-    ``wavelet=`` for the Daubechies family ``db1``–``db4`` (real filter
+    ``wavelet=`` for the Daubechies family ``db1``–``db16`` (real filter
     pairs + QMF, ``denoise_native._DB_FILTERS``) with pywt-style
     symmetric boundary extension (r5), and raises
     ``NotImplementedError`` for any other pywt name rather than silently

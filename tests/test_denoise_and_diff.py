@@ -169,11 +169,11 @@ def test_db_filters_are_orthonormal():
                 name, s)
 
 
-@pytest.mark.parametrize("wavelet", ["db1", "db2", "db3", "db4"])
+@pytest.mark.parametrize("wavelet", ["db1", "db2", "db3", "db4", "db8"])
 def test_wave_dwt_perfect_reconstruction(wavelet):
     """VERDICT r3 item 5: the db-family DWT is a true orthonormal
     transform — analysis followed by synthesis is the identity, on even
-    AND odd axis lengths."""
+    AND odd axis lengths (db8 exercises a GENERATED filter end-to-end)."""
     from gaussian_process_edge_trace_tpu.utils.denoise_native import (
         wave_dwt2, wave_idwt2)
     rng = np.random.default_rng(3)
@@ -181,7 +181,36 @@ def test_wave_dwt_perfect_reconstruction(wavelet):
         x = rng.normal(size=shape)
         ll, details, s = wave_dwt2(jnp.asarray(x), wavelet)
         rec = np.asarray(wave_idwt2(ll, details, s, wavelet))
-        np.testing.assert_allclose(rec, x, atol=1e-10)
+        np.testing.assert_allclose(rec, x, atol=1e-7)
+
+
+def test_daubechies_generator_matches_pinned_tables():
+    """The spectral-factorization generator (denoise_native._daubechies)
+    reproduces the pinned db1-db4 coefficient tables — the same tables
+    that were validated against pywt conventions — to f64 root-finding
+    accuracy, and its higher-N filters hold the defining orthonormality
+    conditions to below f32 resolution through the db16 support cap."""
+    from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+        _DB_FILTERS, _DB_MAX_N, _daubechies, _db_filter, _qmf)
+    for name, N in [("db1", 1), ("db2", 2), ("db3", 3), ("db4", 4)]:
+        np.testing.assert_allclose(_daubechies(N), _DB_FILTERS[name],
+                                   atol=5e-12, err_msg=name)
+    for N in [5, 8, 12, _DB_MAX_N]:
+        h = _daubechies(N)
+        assert len(h) == 2 * N
+        assert abs(h.sum() - np.sqrt(2)) < 1e-9
+        assert abs((h * h).sum() - 1.0) < 2e-8
+        g = _qmf(h)
+        assert abs(g.sum()) < 1e-9
+        hp = np.pad(h, (0, 2 * N))
+        for s in range(1, N):
+            assert abs(np.dot(hp[:2 * N], hp[2 * s:2 * s + 2 * N])) \
+                < 2e-8, (N, s)
+    # resolver: generated names route through the generator; beyond the
+    # cap the error message is precision-honest.
+    np.testing.assert_array_equal(_db_filter("db8"), _daubechies(8))
+    with pytest.raises(NotImplementedError, match="db1..db16"):
+        _db_filter("db17")
 
 
 @pytest.mark.parametrize("wavelet", ["db2", "db4"])
