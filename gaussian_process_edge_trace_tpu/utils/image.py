@@ -154,8 +154,10 @@ def denoise(image, technique, kwargs, plot=False, verbose=False):
     documents the in-kind equivalences for wavelet/tvb).
 
     Caveat (in-kind, not bit-faithful): ``wavelet`` honours
-    ``wavelet=`` for the Daubechies family ``db1``–``db16`` (real filter
-    pairs + QMF, ``denoise_native._DB_FILTERS``) with pywt-style
+    ``wavelet=`` for the Daubechies family ``db1``–``db16`` and the
+    symlet (least-asymmetric) family ``sym2``–``sym16`` (real filter
+    pairs + QMF, generated by spectral factorization —
+    ``denoise_native._daubechies``/``_symlet``) with pywt-style
     symmetric boundary extension (r5), and raises
     ``NotImplementedError`` for any other pywt name rather than silently
     substituting (PARITY.md C18). ``tvb`` minimises the same

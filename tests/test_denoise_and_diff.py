@@ -269,5 +269,65 @@ def test_unsupported_wavelet_refused():
     silently computing another wavelet (VERDICT r3 item 5)."""
     from gaussian_process_edge_trace_tpu.utils.image import denoise
     _, noisy = _noisy_pair()
-    with pytest.raises(NotImplementedError, match="sym4"):
-        denoise(noisy, "wavelet", {"wavelet": "sym4"})
+    with pytest.raises(NotImplementedError, match="coif2"):
+        denoise(noisy, "wavelet", {"wavelet": "coif2"})
+    with pytest.raises(NotImplementedError, match="sym2..sym16"):
+        denoise(noisy, "wavelet", {"wavelet": "sym17"})
+
+
+def test_symlet_generator_matches_pinned_table():
+    """The least-asymmetric factorization (denoise_native._symlet)
+    reproduces the published sym4 filter (Daubechies, Ten Lectures
+    Table 6.3 — the table pywt ships) to f64 root-finding accuracy, with
+    NO convention fix-ups: the phase-nonlinearity minimum alone selects
+    pywt's filter. sym2/sym3 must coincide with db2/db3 (a single complex
+    root quadruple — nothing to flip), and every symN through the sym16
+    cap holds the defining orthonormality conditions below f32
+    resolution."""
+    from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+        _SYM_MAX_N, _daubechies, _qmf, _symlet, _wavelet_filter)
+    pywt_sym4_rec_lo = np.array([
+        0.03222310060404270, -0.012603967262037833, -0.09921954357684722,
+        0.29785779560527736, 0.8037387518059161, 0.49761866763201545,
+        -0.029635527645998511, -0.07576571478927333])
+    np.testing.assert_allclose(_symlet(4), pywt_sym4_rec_lo, atol=5e-12)
+    # sym4 genuinely differs from db4 (the selection did something).
+    assert np.abs(_symlet(4) - _daubechies(4)).max() > 0.1
+    for N in (2, 3):
+        np.testing.assert_allclose(_symlet(N), _daubechies(N), atol=5e-12)
+    for N in [5, 8, 12, _SYM_MAX_N]:
+        h = _symlet(N)
+        assert len(h) == 2 * N
+        assert abs(h.sum() - np.sqrt(2)) < 1e-9
+        assert abs((h * h).sum() - 1.0) < 2e-8
+        assert abs(_qmf(h).sum()) < 1e-9
+        hp = np.pad(h, (0, 2 * N))
+        for s in range(1, N):
+            assert abs(np.dot(hp[:2 * N], hp[2 * s:2 * s + 2 * N])) \
+                < 2e-8, (N, s)
+    np.testing.assert_array_equal(_wavelet_filter("sym8"), _symlet(8))
+
+
+def test_symlet_dwt_perfect_reconstruction_and_denoise():
+    """sym8 runs end-to-end: the DWT round-trips exactly (orthonormal
+    filter through the symmetric-extension transform) and
+    denoise(wavelet='sym4') produces a result distinct from db4's (the
+    kwarg selects the REAL symlet)."""
+    from gaussian_process_edge_trace_tpu.utils.denoise_native import (
+        peak_signal_noise_ratio, wave_dwt2, wave_idwt2)
+    from gaussian_process_edge_trace_tpu.utils.image import denoise
+    rng = np.random.default_rng(5)
+    for shape in [(33, 47), (64, 31)]:
+        x = rng.normal(size=shape)
+        ll, details, s = wave_dwt2(jnp.asarray(x), "sym8")
+        rec = np.asarray(wave_idwt2(ll, details, s, "sym8"))
+        np.testing.assert_allclose(rec, x, atol=1e-6)
+    clean, noisy = _noisy_pair()
+    out = np.asarray(denoise(noisy, "wavelet", {"wavelet": "sym4"}))
+    p_noisy = float(peak_signal_noise_ratio(jnp.asarray(clean),
+                                            jnp.asarray(noisy)))
+    p_out = float(peak_signal_noise_ratio(jnp.asarray(clean),
+                                          jnp.asarray(out)))
+    assert p_out > p_noisy + 1.0, (p_noisy, p_out)
+    db4 = np.asarray(denoise(noisy, "wavelet", {"wavelet": "db4"}))
+    assert np.abs(out - db4).max() > 1e-4
