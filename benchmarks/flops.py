@@ -36,7 +36,11 @@ def iteration_flops(cfg) -> dict:
     # --- Matheron sampling round (models/gpr.py::fit_and_sample) ---------
     d["gram"] = 8 * n * n                       # ~8 flops per kernel eval
     d["cholesky_x2"] = 2 * 2 * n ** 3 // 3      # batched jitter escalation
-    d["prior_draw_matmul"] = 2 * G * G * S      # L_prior_unit @ z
+    # Truncated prior factor (driver.py::prior_factor, r5): the draw
+    # matmul is (G, r) @ (r, S) with r = the prior's numerical rank.
+    from gaussian_process_edge_trace_tpu.trace.driver import prior_factor
+    r = int(prior_factor(cfg)[0].shape[1])
+    d["prior_draw_matmul"] = 2 * G * r * S      # L_prior_unit @ z
     # f0 at the train points: size-gated (models/gpr.py) — plain row
     # gather (no FLOPs) at ≤32k samples, one-hot contraction above.
     d["f0_at_train"] = 2 * n * G * S if S > 32768 else 0

@@ -225,8 +225,13 @@ def fit_and_sample(key, spec: KernelSpec, x, y, length_scale, variance,
                                             axis=1)
 
     # Prior draws over the extended grid: sqrt(variance) * L_unit @ z.
-    z = local_slice(jax.random.normal(k_prior, (G, S_tot),
-                                      dtype=L_prior_unit.dtype))  # (G, S)
+    # L_prior_unit is (G, r) — the host eigendecomposition truncated to
+    # the prior's numerical rank (trace/driver.py::prior_factor): the
+    # stream is DEFINED over the (r, total_samples) draw, and the matmul
+    # plus the normal generation shrink ~G/r ≈ 20× at the big configs.
+    r = L_prior_unit.shape[1]
+    z = local_slice(jax.random.normal(k_prior, (r, S_tot),
+                                      dtype=L_prior_unit.dtype))  # (r, S)
     f0 = jnp.sqrt(variance) * (L_prior_unit @ z)          # (G, S)
 
     # Heteroscedastic noise draws at the training points.

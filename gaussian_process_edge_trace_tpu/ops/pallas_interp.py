@@ -219,11 +219,12 @@ def _column_interp_pallas_2l(cols, ys, add_const=0.0):
 # Fused interp + Simpson quadratures (the whole curve-cost reduction)
 # ---------------------------------------------------------------------------
 
-# VMEM budget for the fully-resident col6 operand of the fused cost kernel
-# (E·3(H+1)·L bf16 bytes). 8 MB covers every M ≤ ~1200 config; above it the
-# unfused path is used (where the quadrature passes are a tiny fraction of
-# the trace anyway — they scale with S, not M).
-_FUSED_COL6_BYTES = 8 * 1024 * 1024
+# Hard cap on the fused kernel's sample-block width (the arithmetic VMEM
+# budget inside _fused_cost_call usually allows more; r5 A/B at 1000²,
+# S=10⁵: 896 → 4096 lanes cut the grid from 14k sub-µs programs to 3.1k
+# and the call from 13.2 → 4.5 ms; 8192 measured no further win while
+# doubling VMEM pressure).
+_FUSED_S_BLK_CAP = 4096
 
 
 def _fused_cost_call(cols, ys, kde_thresh: float):
@@ -267,8 +268,18 @@ def _fused_cost_call(cols, ys, kde_thresh: float):
                        for t in range(H + 1)], axis=1)     # (E_pad, T, L)
     col6 = jnp.concatenate(_split3_bf16(col2d), axis=1)    # (E_pad, 3T, L)
 
-    budget = max(128, ((1 << 22) // (4 * T * L) // 128) * 128)
-    s_blk = min(S, budget)
+    # Sample-block width. col6 streams in (_BLK, 3T, L) blocks (54 KB at
+    # M=1000 — it was fully VMEM-resident through r4, which strangled
+    # s_blk to 896 and shattered the call into 14k sub-µs grid programs;
+    # the per-program fixed cost, not MXU/VPU/HBM, dominated the 1000²
+    # S=10⁵ profile at 222 ms/trace). Per-lane VMEM is ~1.7 KB (onehot +
+    # hs iota at L rows dominate, plus the quadrature scratch), so 4096
+    # lanes ≈ 7 MB — comfortably inside the 16 MB VMEM bound that the
+    # arithmetic gate below enforces BEFORE compiling (a failed Mosaic
+    # VMEM allocation wedges the tunneled runtime, CLAUDE.md).
+    per_lane = 6 * L + 24 * T + 768
+    budget = max(128, ((10 << 20) // per_lane // 128) * 128)
+    s_blk = min(S, min(budget, _FUSED_S_BLK_CAP))
     n_sblk = (S + s_blk - 1) // s_blk
 
     # The three ys views below (previous / own / next block) use CLAMPED
@@ -336,8 +347,7 @@ def _fused_cost_call(cols, ys, kde_thresh: float):
         # and fold each row straight into the line-integral partial.
         line = jnp.zeros((s_blk,), jnp.float32)
         for jj in range(_BLK):
-            row = i * _BLK + jj
-            c6 = col6_ref[row]                             # (3T, L)
+            c6 = col6_ref[jj]                              # (3T, L)
             y = jnp.clip(y_ref[jj, :], 0.0, M - 1.0)
             hi = jnp.floor(y).astype(jnp.int32) // H
             ylo = y - (hi * H).astype(jnp.float32)
@@ -362,7 +372,7 @@ def _fused_cost_call(cols, ys, kde_thresh: float):
         kernel,
         grid=(n_sblk, n_eblk),
         in_specs=[
-            pl.BlockSpec((E_pad, 3 * T, L), lambda j, i: (0, 0, 0),
+            pl.BlockSpec((_BLK, 3 * T, L), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BLK, s_blk),
                          lambda j, i: (jnp.maximum(i - 1, 0), j),
@@ -392,17 +402,16 @@ def fused_curve_cost(cols, ys, kde_thresh: float = 0.0):
     Eligibility: TPU backend, even E (odd quadrature point counts — the
     even-count Simpson tails never arise, so legacy ``even='avg'`` and
     modern rules coincide, gpet.py:404-405), the two-level decomposition
-    engaged (M ≥ 4·H), S wide enough to beat the unfused path's fusions,
-    and the stacked col6 operand within its VMEM residency budget.
+    engaged (M ≥ 4·H), and S wide enough to beat the unfused path's
+    fusions. (col6 streams per e-block since r5, so no M cap remains —
+    the former 8 MB full-residency gate excluded M ≥ ~1200.)
     Returns ``(line_integral, arc_length)`` (S,) float32 arrays.
     """
     E, M = cols.shape
     _, S = ys.shape
     H = _H_for(M)
-    L = (M + H - 1) // H
-    col6_bytes = (((E + _BLK - 1) // _BLK) * _BLK) * 3 * (H + 1) * L * 2
     if (jax.default_backend() != "tpu" or E % 2 != 0 or E < 2 * _BLK
-            or M < 4 * H or S < 128 or col6_bytes > _FUSED_COL6_BYTES):
+            or M < 4 * H or S < 128):
         return None
     return _fused_cost_jit(cols, ys, float(kde_thresh))
 
