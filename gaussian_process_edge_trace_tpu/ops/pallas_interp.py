@@ -227,7 +227,7 @@ def _column_interp_pallas_2l(cols, ys, add_const=0.0):
 _FUSED_S_BLK_CAP = 4096
 
 
-def _fused_cost_call(cols, ys, kde_thresh: float):
+def _fused_cost_call(cols, ys, kde_thresh: float, with_transpose=False):
     """Curve-cost quadratures in ONE Pallas pass: per-column interpolation
     (identical arithmetic to :func:`_column_interp_pallas_2l`, including the
     ``+kde_thresh`` epilogue) PLUS both Simpson reductions of
@@ -247,7 +247,13 @@ def _fused_cost_call(cols, ys, kde_thresh: float):
     ``even='avg'`` rule coincides with the modern one — gpet.py:404-405
     semantics either way).
 
-    Returns ``(line_integral (S,), arc_length (S,))``, float32.
+    Returns ``(line_integral (S,), arc_length (S,))``, float32 — plus a
+    transposed ``(S, E_pad)`` copy of ``ys`` when ``with_transpose`` (the
+    sample blocks are already in VMEM, so the kernel transposes them on
+    the way through): ``best_curves``' top-K column ``take`` otherwise
+    forces XLA to materialise a layout-transposed copy of the full (E, S)
+    samples array — 22 ms of the 1000², S=10⁵ device profile — while a
+    row take from the pre-transposed copy is the fast major-dim gather.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -294,8 +300,15 @@ def _fused_cost_call(cols, ys, kde_thresh: float):
 
     third = np.float32(2.0) / np.float32(6.0)   # == simpson_weights' hsum/6
 
-    def kernel(col6_ref, yprev_ref, y_ref, ynext_ref, out_ref):
+    def kernel(col6_ref, yprev_ref, y_ref, ynext_ref, out_ref,
+               yst_ref=None):
         i = pl.program_id(1)
+        if yst_ref is not None:
+            # The raw sample block is already in VMEM — emit its
+            # transpose so best_curves' top-K extraction reads a fast
+            # major-dim layout instead of forcing XLA's (E, S)
+            # layout-transpose copy.
+            yst_ref[...] = y_ref[...].T
         hs = jax.lax.broadcasted_iota(jnp.int32, (L, s_blk), 0)
         ts = jax.lax.broadcasted_iota(
             jnp.int32, (T, s_blk), 0).astype(jnp.float32)
@@ -368,6 +381,13 @@ def _fused_cost_call(cols, ys, kde_thresh: float):
         out_ref[0, :] += line
         out_ref[1, :] += arc
 
+    out_specs = [pl.BlockSpec((8, s_blk), lambda j, i: (0, j),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((8, S), jnp.float32)]
+    if with_transpose:
+        out_specs.append(pl.BlockSpec((s_blk, _BLK), lambda j, i: (j, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((S, E_pad), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(n_sblk, n_eblk),
@@ -383,20 +403,32 @@ def _fused_cost_call(cols, ys, kde_thresh: float):
                          lambda j, i: (jnp.minimum(i + 1, n_eblk - 1), j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, s_blk), lambda j, i: (0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, S), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
     )(col6, ysp, ysp, ysp)
-    return out[0], out[1]
+    if with_transpose:
+        (acc, yst) = out
+        return acc[0], acc[1], yst
+    return out[0][0], out[0][1]
 
 
-@functools.partial(jax.jit, static_argnames=("kde_thresh",))
-def _fused_cost_jit(cols, ys, kde_thresh):
-    return _fused_cost_call(cols, ys, kde_thresh)
+@functools.partial(jax.jit,
+                   static_argnames=("kde_thresh", "with_transpose"))
+def _fused_cost_jit(cols, ys, kde_thresh, with_transpose=False):
+    return _fused_cost_call(cols, ys, kde_thresh,
+                            with_transpose=with_transpose)
 
 
-def fused_curve_cost(cols, ys, kde_thresh: float = 0.0):
+# Emit the transposed samples copy only when the (E, S) layout-transpose
+# it replaces is material (device-profiled: 22 ms at S=10⁵, ~2 ms at
+# S=10⁴, noise at the demo's S=10³ where the extra store would only add
+# kernel work).
+_TRANSPOSE_MIN_S = 8192
+
+
+def fused_curve_cost(cols, ys, kde_thresh: float = 0.0,
+                     want_transpose=False):
     """Fused curve-cost quadratures, or ``None`` if ineligible.
 
     Eligibility: TPU backend, even E (odd quadrature point counts — the
@@ -405,7 +437,9 @@ def fused_curve_cost(cols, ys, kde_thresh: float = 0.0):
     engaged (M ≥ 4·H), and S wide enough to beat the unfused path's
     fusions. (col6 streams per e-block since r5, so no M cap remains —
     the former 8 MB full-residency gate excluded M ≥ ~1200.)
-    Returns ``(line_integral, arc_length)`` (S,) float32 arrays.
+    Returns ``(line_integral, arc_length, samples_t)`` with (S,) float32
+    quadratures; ``samples_t`` is the (S, E_pad) transposed samples copy
+    when ``want_transpose`` and S ≥ _TRANSPOSE_MIN_S, else ``None``.
     """
     E, M = cols.shape
     _, S = ys.shape
@@ -413,7 +447,11 @@ def fused_curve_cost(cols, ys, kde_thresh: float = 0.0):
     if (jax.default_backend() != "tpu" or E % 2 != 0 or E < 2 * _BLK
             or M < 4 * H or S < 128):
         return None
-    return _fused_cost_jit(cols, ys, float(kde_thresh))
+    wt = bool(want_transpose) and S >= _TRANSPOSE_MIN_S
+    out = _fused_cost_jit(cols, ys, float(kde_thresh), with_transpose=wt)
+    if wt:
+        return out
+    return out[0], out[1], None
 
 
 @functools.partial(jax.jit, static_argnames=("add_const",))

@@ -398,13 +398,19 @@ def _iteration(cfg: TracerConfig, data: TracerData, key, state: TraceState,
     samples = _sample_round(cfg, data, x, y, mask, noise_w, key_it,
                             n_samples=s_local, sample_offset=off)
 
-    costs = curve_costs(data.grad_img, data.x_grid, samples,
-                        kde_thresh=cfg.kde_thresh, cols=data.grad_cols,
-                        even="avg" if cfg.legacy_simpson else "simpson")
-
     if sample_axis is None:
-        bc, bcosts = best_curves(samples, costs, cfg.N_keep)
+        costs, samples_t = curve_costs(
+            data.grad_img, data.x_grid, samples,
+            kde_thresh=cfg.kde_thresh, cols=data.grad_cols,
+            even="avg" if cfg.legacy_simpson else "simpson",
+            return_samples_t=True)
+        bc, bcosts = best_curves(samples, costs, cfg.N_keep,
+                                 samples_t=samples_t)
     else:
+        costs = curve_costs(
+            data.grad_img, data.x_grid, samples,
+            kde_thresh=cfg.kde_thresh, cols=data.grad_cols,
+            even="avg" if cfg.legacy_simpson else "simpson")
         costs_g = jax.lax.all_gather(costs, sample_axis,
                                      tiled=True)          # (S,) global
         neg, idx = jax.lax.top_k(-costs_g, cfg.N_keep)

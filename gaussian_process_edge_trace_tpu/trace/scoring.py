@@ -38,9 +38,11 @@ from gaussian_process_edge_trace_tpu.ops.pallas_interp import (
     column_interp, fused_curve_cost)
 
 
-@functools.partial(jax.jit, static_argnames=("kde_thresh", "even"))
+@functools.partial(jax.jit, static_argnames=("kde_thresh", "even",
+                                              "return_samples_t"))
 def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
-                cols=None, even: str = "simpson"):
+                cols=None, even: str = "simpson",
+                return_samples_t: bool = False):
     """Costs of all sampled curves.
 
     Args:
@@ -56,8 +58,15 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
         ``scipy.integrate.simps`` default the upstream called
         (gpet.py:404-405) bit-faithfully.
 
+      return_samples_t: also return a (S, E_pad) transposed copy of
+        ``y_samples`` produced inside the fused kernel (or ``None`` when
+        the fused path/threshold doesn't engage) — ``best_curves`` then
+        extracts the top-K by fast major-dim row takes instead of forcing
+        a full (E, S) layout-transpose copy (22 ms at 1000², S=10⁵).
+
     Returns:
-      (S,) costs (lower = better).
+      (S,) costs (lower = better) — or ``(costs, samples_t)`` when
+      ``return_samples_t``.
     """
     E, S = y_samples.shape
     M, N = grad_img.shape
@@ -76,10 +85,12 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
     # is the bitwise-same composite pair rule, summed per-row per-block
     # (f32 reassociation only vs the unfused reduce fusions —
     # ops/pallas_interp.fused_curve_cost docstring).
-    fused = fused_curve_cost(cols, y_samples, kde_thresh=kde_thresh)
+    fused = fused_curve_cost(cols, y_samples, kde_thresh=kde_thresh,
+                             want_transpose=return_samples_t)
     if fused is not None:
-        line_integral, arc_length = fused
-        return (arc_length / line_integral).astype(dtype)
+        line_integral, arc_length, samples_t = fused
+        costs = (arc_length / line_integral).astype(dtype)
+        return (costs, samples_t) if return_samples_t else costs
     # The +kde_thresh floor (gpet.py:392) rides the interp kernel's
     # epilogue: issued separately it is a full read+write pass over the
     # (E, S) result — 23 ms of the 1000², S=10⁵ device profile.
@@ -105,18 +116,31 @@ def curve_costs(grad_img, x_grid, y_samples, kde_thresh: float = 1e-3,
     # ``step`` array.
     arc_w = simpson_weights(x_grid[:-1].astype(dtype), even=even)
     arc_length = jnp.sum(arc_w[:, None] * step, axis=0)   # (S,)
-    return arc_length / line_integral
+    costs = arc_length / line_integral
+    return (costs, None) if return_samples_t else costs
 
 
 @functools.partial(jax.jit, static_argnames=("n_keep",))
-def best_curves(y_samples, costs, n_keep: int):
+def best_curves(y_samples, costs, n_keep: int, samples_t=None):
     """Top ``n_keep`` curves by ascending cost (gpet.py:443-449).
 
     Returns ``(best (E, n_keep), best_costs (n_keep,))``; index 0 is the
     optimum. Extraction is a plain column ``take``: device-profiled it
     beats the earlier (E, S) @ (S, n_keep) HIGHEST one-hot contraction at
     every size (bitwise-identical output; 33.6 → 1.4 ms at S=10⁵).
+
+    When ``samples_t`` (the (S, E_pad) transposed copy the fused cost
+    kernel emits, curve_costs(return_samples_t=True)) is provided, the
+    extraction is a major-dim ROW take from it instead: the column take
+    otherwise makes XLA materialise a layout-transposed copy of the full
+    (E, S) array before its gather (22 ms at 1000², S=10⁵), while
+    transposing the (n_keep, E) kept slice back costs a tenth of that.
+    Bitwise the same elements either way.
     """
     neg, idx = jax.lax.top_k(-costs, n_keep)
-    best = jnp.take(y_samples, idx, axis=1)
+    if samples_t is not None:
+        E = y_samples.shape[0]
+        best = jnp.take(samples_t, idx, axis=0).T[:E]
+    else:
+        best = jnp.take(y_samples, idx, axis=1)
     return best, -neg
